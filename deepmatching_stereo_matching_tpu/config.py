@@ -1,0 +1,145 @@
+"""Pipeline configuration.
+
+The reference (`Yuki-Kumon/deepmatching_stereo_matching`; mount empty at
+survey time, see SURVEY.md §0) hard-codes its DeepMatching constants in the
+driver script (SURVEY.md §5.6 / C15).  This framework centralises every
+canonical knob (patch size, pyramid depth, disparity range, pool window,
+subsample factor, rectification exponent lambda, LR threshold tau
+[DM §3 / SURVEY.md §5.6]) in one frozen dataclass that is hashable, so it
+can be passed as a static argument through `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+def _log2_floor(x: int) -> int:
+    return max(0, int(math.floor(math.log2(x))) if x > 0 else 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Static configuration of the DeepMatching stereo pipeline.
+
+    Attributes:
+      max_disparity: exclusive upper bound of the disparity search range D.
+        Disparities d with 0 <= d < max_disparity are searched.
+      patch_size: side of the atomic (level-0) square patch in pixels.
+        DeepMatching canonical value: 4 [DM §3.1].
+      levels: number of bottom-up aggregation levels L.  ``None`` selects
+        the deepest pyramid such that the top level still has at least
+        ``min_top_disparities`` disparity bins and a >= 2x2 spatial grid.
+      lam: power-rectification exponent applied after every aggregation,
+        x -> x**lam [DM §3.2]; canonical value 1.4.
+      tau: left-right consistency threshold in pixels (SURVEY.md §3.5).
+      pool_window: max-pool window along the disparity axis per level
+        (canonical 3 -> +-1 px deformation tolerance per level [DM §3.2]).
+      subsample: disparity/target subsample factor per level (canonical 2).
+      descriptor: 'patch' (L2-normalised raw intensity patch) or
+        'grad_hist' (8-orientation gradient-histogram, dense-SIFT-like
+        [DM §3.1]).  Both are exposed because the reference's exact variant
+        is unverifiable (SURVEY.md §2 row C2, §7 hard part 6).
+      center_descriptors: subtract the patch mean before normalising
+        (ZNCC-style) in 'patch' mode.
+      lr_check: run the right-to-left pass and invalidate inconsistent
+        pixels (SURVEY.md C12).
+      min_score: matches whose level-0 correlation falls below this are
+        invalidated (0 disables).
+      invalid_value: value written into invalidated pixels of the final
+        float disparity map.
+      dtype: compute dtype of the cost volume / pyramid ('float32' or
+        'bfloat16'; f32 is the bit-comparability default, SURVEY.md §7
+        hard part 5).
+      min_top_disparities: used by automatic level selection.
+    """
+
+    max_disparity: int = 64
+    patch_size: int = 4
+    levels: Optional[int] = None
+    lam: float = 1.4
+    tau: float = 1.0
+    pool_window: int = 3
+    subsample: int = 2
+    descriptor: str = "patch"
+    center_descriptors: bool = False
+    lr_check: bool = True
+    min_score: float = 0.0
+    invalid_value: float = float("nan")
+    dtype: str = "float32"
+    min_top_disparities: int = 4
+
+    def __post_init__(self) -> None:
+        if self.max_disparity < 1:
+            raise ValueError("max_disparity must be >= 1")
+        if self.patch_size < 1:
+            raise ValueError("patch_size must be >= 1")
+        if self.subsample != 2:
+            raise ValueError("only the canonical subsample factor 2 is supported")
+        if self.pool_window != 3:
+            raise ValueError("only the canonical 3-wide disparity pool is supported")
+        if self.descriptor not in ("patch", "grad_hist"):
+            raise ValueError(f"unknown descriptor mode: {self.descriptor!r}")
+        if self.levels is not None and self.levels < 1:
+            raise ValueError("levels must be >= 1")
+
+    # ---- derived static geometry -------------------------------------
+
+    def num_levels(self, height: int, width: int) -> int:
+        """Resolved pyramid depth L for an image of the given size."""
+        if self.levels is not None:
+            return self.levels
+        p = self.patch_size
+        # Deepest L with top-level disparity bins >= min_top_disparities
+        # and top-level grid >= 2x2.
+        d_cap = _log2_floor(max(1, self.padded_disparities_for(1) // self.min_top_disparities))
+        g0 = min(height, width) // p
+        g_cap = _log2_floor(max(1, g0 // 2))
+        return max(1, min(d_cap, g_cap))
+
+    def padded_disparities_for(self, levels: int) -> int:
+        """D0: max_disparity rounded up to a multiple of 2**levels."""
+        m = self.subsample ** levels
+        return ((self.max_disparity + m - 1) // m) * m
+
+    def padded_image_size(self, height: int, width: int, levels: int) -> tuple:
+        """(Hp, Wp): image size padded so the level-0 grid divides 2**L."""
+        m = self.patch_size * (self.subsample ** levels)
+        hp = ((height + m - 1) // m) * m
+        wp = ((width + m - 1) // m) * m
+        return hp, wp
+
+    def geometry(self, height: int, width: int) -> "Geometry":
+        lvl = self.num_levels(height, width)
+        hp, wp = self.padded_image_size(height, width, lvl)
+        d0 = self.padded_disparities_for(lvl)
+        return Geometry(
+            height=height,
+            width=width,
+            levels=lvl,
+            padded_height=hp,
+            padded_width=wp,
+            grid_h=hp // self.patch_size,
+            grid_w=wp // self.patch_size,
+            disparities=d0,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Geometry:
+    """Resolved static shapes of one pipeline instantiation."""
+
+    height: int
+    width: int
+    levels: int
+    padded_height: int
+    padded_width: int
+    grid_h: int
+    grid_w: int
+    disparities: int
+
+    def level_shape(self, level: int) -> tuple:
+        s = 2 ** level
+        return (self.grid_h // s, self.grid_w // s, self.disparities // s)
