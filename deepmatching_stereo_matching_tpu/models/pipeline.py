@@ -1,0 +1,154 @@
+"""End-to-end jitted DeepMatching stereo pipeline (single device).
+
+The reference runs its stages as separate NumPy passes on the host
+(SURVEY.md §3.1); here C2-C12 are ONE jitted XLA program: the host/device
+boundary sits exactly at image upload and disparity download (SURVEY.md
+§3.1 note).  Both matching directions (L->R and the flipped R->L pass
+needed for the consistency check, SURVEY.md §3.5) are batched together
+on the leading axis so the TPU computes them in a single pass.
+
+The pyramid level loop is unrolled (shapes halve per level -> unrolled,
+not `lax.scan`, SURVEY.md C8).  The reference's recursive backtracking
+[DM §3.3] is reformulated as dense argmax propagation with fixed shapes
+(SURVEY.md §3.4): the bottom-up pass records pool-argmax offsets, and the
+top-down pass hands each quadtree child its refined disparity bin via
+vectorised gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, Geometry
+from ..ops import costvol as costvol_ops
+from ..ops import costvol_pallas
+from ..ops import pool as pool_ops
+from ..ops._dispatch import implementation
+from . import descriptors
+
+
+# ---------------------------------------------------------------------------
+# Pyramid + backtracking (C5-C10)
+# ---------------------------------------------------------------------------
+
+
+def build_pyramid(cost0: jnp.ndarray, levels: int, lam: float
+                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Bottom-up aggregation (C8); returns (maps, args) as in the oracle."""
+    maps = [cost0]
+    args = []
+    cur = cost0
+    for _ in range(levels):
+        sub, arg = pool_ops.pool3_subsample(cur)
+        cur = pool_ops.aggregate_children(sub, lam)
+        maps.append(cur)
+        args.append(arg)
+    return maps, args
+
+
+def backtrack(maps: List[jnp.ndarray], args: List[jnp.ndarray]
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense top-down argmax propagation (SURVEY.md §3.4).
+
+    Returns (disp_patch int32 (H0, W0), score float32 (H0, W0)).
+    Matches oracle/reference.py:backtrack exactly.
+    """
+    levels = len(args)
+    k = jnp.argmax(maps[levels], axis=-1).astype(jnp.int32)
+    for lvl in range(levels - 1, -1, -1):
+        kr = jnp.repeat(jnp.repeat(k, 2, axis=0), 2, axis=1)
+        off = jnp.take_along_axis(args[lvl], kr[:, :, None], axis=2)[:, :, 0]
+        k = 2 * kr + off
+    score = jnp.take_along_axis(maps[0], k[:, :, None], axis=2)[:, :, 0]
+    return k, score
+
+
+# ---------------------------------------------------------------------------
+# Single-direction pipeline on a padded grayscale image pair
+# ---------------------------------------------------------------------------
+
+
+def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
+                  geom: Geometry, impl: str = "pallas"
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Hp, Wp) padded pair -> (disp_patch, score), both (H0, W0)."""
+    desc_l = descriptors.left_descriptors(left, cfg)
+    desc_r = descriptors.right_sliding_descriptors(right, cfg)
+    cv = costvol_pallas.cost_volume if impl == "pallas" \
+        else costvol_ops.cost_volume
+    cost0 = cv(desc_l, desc_r, geom.disparities, cfg.patch_size,
+               cfg.max_disparity)
+    maps, args = build_pyramid(cost0, geom.levels, cfg.lam)
+    return backtrack(maps, args)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline: both directions + consistency + densification (C11-C12)
+# ---------------------------------------------------------------------------
+
+
+def densify(patchwise: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    return jnp.repeat(jnp.repeat(patchwise, patch_size, axis=0),
+                      patch_size, axis=1)
+
+
+def lr_consistency(disp_l: jnp.ndarray, disp_r: jnp.ndarray, tau: float
+                   ) -> jnp.ndarray:
+    """valid[y, x] = |dL[y,x] - dR[y, x - dL[y,x]]| <= tau."""
+    w = disp_l.shape[1]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    xr = xs - disp_l
+    in_range = (xr >= 0) & (xr < w)
+    d_r = jnp.take_along_axis(disp_r, jnp.clip(xr, 0, w - 1), axis=1)
+    return in_range & (jnp.abs(disp_l - d_r) <= tau)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "height", "width", "impl"))
+def match_padded(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
+                 height: int, width: int, impl: str = "pallas"
+                 ) -> Dict[str, jnp.ndarray]:
+    """Jitted core: padded grayscale f32 pair -> disparity outputs.
+
+    `cfg`, `height`, `width`, `impl` are static; retracing happens only
+    per (shape, config), as with any XLA program.
+    """
+    geom = cfg.geometry(height, width)
+
+    if cfg.lr_check:
+        # Batch L->R with the flipped R->L pass (d_R(x) = d'_L(W-1-x)).
+        lefts = jnp.stack([left_p, right_p[:, ::-1]])
+        rights = jnp.stack([right_p, left_p[:, ::-1]])
+        (disp_patch, score_patch) = jax.vmap(
+            lambda l, r: one_direction(l, r, cfg, geom, impl))(lefts, rights)
+        disp_fwd, disp_rev = disp_patch[0], disp_patch[1]
+        score = score_patch[0]
+        disp_r_full = densify(disp_rev, cfg.patch_size)[:, ::-1]
+    else:
+        disp_fwd, score = one_direction(left_p, right_p, cfg, geom, impl)
+        disp_r_full = None
+
+    disp_px = densify(disp_fwd, cfg.patch_size)[:height, :width]
+    score_px = densify(score, cfg.patch_size)[:height, :width]
+
+    valid = jnp.ones((height, width), dtype=bool)
+    disp_r_px = jnp.zeros((height, width), dtype=jnp.int32)
+    if cfg.lr_check:
+        disp_r_px = disp_r_full[:height, :width]
+        valid &= lr_consistency(disp_px, disp_r_px, cfg.tau)
+    if cfg.min_score > 0.0:
+        valid &= score_px >= cfg.min_score
+
+    out = jnp.where(valid, disp_px.astype(jnp.float32),
+                    jnp.float32(cfg.invalid_value))
+    return {
+        "disparity": out,
+        "disparity_raw": disp_px,
+        "valid": valid,
+        "score": score_px,
+        "disparity_right": disp_r_px,
+    }

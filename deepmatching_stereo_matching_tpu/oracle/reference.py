@@ -197,7 +197,10 @@ def aggregate_children(sub: np.ndarray, lam: float) -> np.ndarray:
     """
     h, w, k = sub.shape
     quad = sub.reshape(h // 2, 2, w // 2, 2, k)
-    merged = quad.mean(axis=(1, 3), dtype=np.float32)
+    # Fixed summation order — bit-identical to the device pipeline
+    # (ops/pool.py:aggregate_children) and across shardings.
+    merged = ((quad[:, 0, :, 0] + quad[:, 0, :, 1])
+              + (quad[:, 1, :, 0] + quad[:, 1, :, 1])) * np.float32(0.25)
     return np.power(merged, np.float32(lam), dtype=np.float32)
 
 

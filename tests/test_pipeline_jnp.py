@@ -1,0 +1,156 @@
+"""Golden tests: jitted device pipeline vs the NumPy oracle (SURVEY.md §4.3).
+
+The oracle is the semantic definition; the jitted pipeline must reproduce
+its integer disparity decisions.  Float intermediates may differ by ULPs
+(XLA vs NumPy reduction order in dot products and x**1.4), so integer
+outputs are compared with a tiny mismatch budget for near-ties, and float
+intermediates with tight tolerances (SURVEY.md §7 hard part 2).
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepmatching_stereo_matching_tpu import Config
+from deepmatching_stereo_matching_tpu.api import match_stereo, preprocess
+from deepmatching_stereo_matching_tpu.data.synthetic import make_block_pair
+from deepmatching_stereo_matching_tpu.models import descriptors, pipeline
+from deepmatching_stereo_matching_tpu.ops import costvol as costvol_ops
+from deepmatching_stereo_matching_tpu.ops import pool as pool_ops
+from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+from deepmatching_stereo_matching_tpu.utils.metrics import bad_pixel_rate
+
+
+def _padded_pair(h=96, w=128, d=24, seed=11, cfg=None, **pair_kw):
+    cfg = cfg or Config(max_disparity=d, levels=3)
+    left, right, gt = make_block_pair(h, w, max_disparity=d, seed=seed,
+                                      **pair_kw)
+    lp = preprocess(left, cfg, h, w)
+    rp = preprocess(right, cfg, h, w)
+    return cfg, left, right, gt, lp, rp
+
+
+class TestStages:
+    def test_left_descriptors_match(self):
+        cfg, *_, lp, rp = _padded_pair()
+        ours = np.asarray(jax.jit(descriptors.left_descriptors,
+            static_argnums=1)(jnp.asarray(lp), cfg))
+        ref = oracle.left_descriptors(lp, cfg)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_right_sliding_descriptors_match(self):
+        cfg, *_, lp, rp = _padded_pair()
+        ours = np.asarray(jax.jit(descriptors.right_sliding_descriptors,
+            static_argnums=1)(jnp.asarray(rp), cfg))
+        ref = oracle.right_sliding_descriptors(rp, cfg)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_grad_hist_descriptors_match(self):
+        cfg = Config(max_disparity=16, levels=2, descriptor="grad_hist")
+        _, _, _, _, lp, rp = _padded_pair(64, 96, 16, cfg=cfg)
+        ours = np.asarray(jax.jit(descriptors.left_descriptors,
+            static_argnums=1)(jnp.asarray(lp), cfg))
+        ref = oracle.left_descriptors(lp, cfg)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+        ours_r = np.asarray(jax.jit(descriptors.right_sliding_descriptors,
+            static_argnums=1)(jnp.asarray(rp), cfg))
+        ref_r = oracle.right_sliding_descriptors(rp, cfg)
+        np.testing.assert_allclose(ours_r, ref_r, atol=1e-5)
+
+    def test_cost_volume_matches(self):
+        cfg, *_, lp, rp = _padded_pair()
+        geom = cfg.geometry(96, 128)
+        dl = oracle.left_descriptors(lp, cfg)
+        dr = oracle.right_sliding_descriptors(rp, cfg)
+        ref = oracle.cost_volume(dl, dr, geom.disparities, cfg.patch_size,
+                                 cfg.max_disparity)
+        ours = np.asarray(jax.jit(functools.partial(
+            costvol_ops.cost_volume, disparities=geom.disparities,
+            patch_size=cfg.patch_size, max_disparity=cfg.max_disparity))(
+            jnp.asarray(dl), jnp.asarray(dr)))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_pool3_subsample_matches(self):
+        rng = np.random.default_rng(0)
+        m = rng.uniform(0, 1, size=(8, 12, 16)).astype(np.float32)
+        sub_r, arg_r = oracle.pool3_subsample(m)
+        sub_j, arg_j = jax.jit(pool_ops.pool3_subsample)(jnp.asarray(m))
+        np.testing.assert_array_equal(np.asarray(sub_j), sub_r)
+        np.testing.assert_array_equal(np.asarray(arg_j), arg_r)
+
+    def test_pool3_subsample_matches_with_ties(self):
+        rng = np.random.default_rng(1)
+        # Quantised values force many exact ties.
+        m = (rng.integers(0, 4, size=(6, 6, 16)) / 4.0).astype(np.float32)
+        sub_r, arg_r = oracle.pool3_subsample(m)
+        sub_j, arg_j = jax.jit(pool_ops.pool3_subsample)(jnp.asarray(m))
+        np.testing.assert_array_equal(np.asarray(sub_j), sub_r)
+        np.testing.assert_array_equal(np.asarray(arg_j), arg_r)
+
+    def test_aggregate_children_matches(self):
+        rng = np.random.default_rng(2)
+        s = rng.uniform(0, 1, size=(8, 12, 8)).astype(np.float32)
+        ref = oracle.aggregate_children(s, 1.4)
+        ours = np.asarray(jax.jit(pool_ops.aggregate_children,
+            static_argnums=1)(jnp.asarray(s), 1.4))
+        # x**1.4: XLA and NumPy pow differ by a few ULPs
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    def test_backtrack_matches(self):
+        cfg, *_, lp, rp = _padded_pair()
+        geom = cfg.geometry(96, 128)
+        dl = oracle.left_descriptors(lp, cfg)
+        dr = oracle.right_sliding_descriptors(rp, cfg)
+        c0 = oracle.cost_volume(dl, dr, geom.disparities, cfg.patch_size,
+                                cfg.max_disparity)
+        maps_r, args_r = oracle.build_pyramid(c0, geom.levels, cfg.lam)
+        k_r, s_r = oracle.backtrack(maps_r, args_r)
+        # Feed the same float maps to the device backtracker: exact match.
+        k_j, s_j = jax.jit(pipeline.backtrack)(
+            [jnp.asarray(m) for m in maps_r],
+            [jnp.asarray(a) for a in args_r])
+        np.testing.assert_array_equal(np.asarray(k_j), k_r)
+        np.testing.assert_array_equal(np.asarray(s_j), s_r)
+
+
+class TestEndToEnd:
+    @pytest.mark.parametrize("desc", ["patch", "grad_hist"])
+    def test_matches_oracle(self, desc):
+        cfg = Config(max_disparity=24, levels=3, descriptor=desc)
+        left, right, gt = make_block_pair(96, 128, max_disparity=24, seed=11)
+        res_j = match_stereo(left, right, cfg)
+        res_o = oracle.match_stereo(left, right, cfg)
+        agree = np.mean(res_j.disparity_raw == res_o.disparity_raw)
+        assert agree > 0.999, agree  # ULP near-tie budget
+        valid_agree = np.mean(res_j.valid == res_o.valid)
+        assert valid_agree > 0.998, valid_agree
+        assert abs(bad_pixel_rate(res_j.disparity, gt)
+                   - bad_pixel_rate(res_o.disparity, gt)) < 0.005
+
+    def test_no_lr_check(self):
+        cfg = Config(max_disparity=16, levels=2, lr_check=False)
+        left, right, gt = make_block_pair(64, 96, max_disparity=16, seed=13)
+        res_j = match_stereo(left, right, cfg)
+        res_o = oracle.match_stereo(left, right, cfg)
+        assert np.mean(res_j.disparity_raw == res_o.disparity_raw) > 0.999
+        assert res_j.disparity_right is None
+        assert res_j.valid.all()
+
+    def test_non_divisible_shapes(self):
+        # 100x150 needs padding at every level; outputs crop back exactly.
+        cfg = Config(max_disparity=20, levels=3)
+        left, right, gt = make_block_pair(100, 150, max_disparity=20, seed=17)
+        res_j = match_stereo(left, right, cfg)
+        res_o = oracle.match_stereo(left, right, cfg)
+        assert res_j.disparity.shape == (100, 150)
+        assert np.mean(res_j.disparity_raw == res_o.disparity_raw) > 0.999
+
+    def test_quality_on_synthetic(self):
+        cfg = Config(max_disparity=24, levels=3)
+        left, right, gt = make_block_pair(96, 128, max_disparity=24, seed=19)
+        res = match_stereo(left, right, cfg)
+        assert bad_pixel_rate(res.disparity, gt, count_invalid=False) < 0.02
