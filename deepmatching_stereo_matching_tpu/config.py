@@ -46,6 +46,11 @@ class Config:
         (ZNCC-style) in 'patch' mode.
       lr_check: run the right-to-left pass and invalidate inconsistent
         pixels (SURVEY.md C12).
+      lr_mode: how the right-to-left pass is computed — 'flip' (match
+        the horizontally flipped pair, the oracle's definition) or
+        'direct' (match right->left with +d target columns; identical
+        up to f32 reduction order, and the only form that shards over
+        W-tiles, SURVEY.md §5.7).
       min_score: matches whose level-0 correlation falls below this are
         invalidated (0 disables).
       invalid_value: value written into invalidated pixels of the final
@@ -66,6 +71,7 @@ class Config:
     descriptor: str = "patch"
     center_descriptors: bool = False
     lr_check: bool = True
+    lr_mode: str = "flip"
     min_score: float = 0.0
     invalid_value: float = float("nan")
     dtype: str = "float32"
@@ -82,6 +88,8 @@ class Config:
             raise ValueError("only the canonical 3-wide disparity pool is supported")
         if self.descriptor not in ("patch", "grad_hist"):
             raise ValueError(f"unknown descriptor mode: {self.descriptor!r}")
+        if self.lr_mode not in ("flip", "direct"):
+            raise ValueError(f"unknown lr_mode: {self.lr_mode!r}")
         if self.levels is not None and self.levels < 1:
             raise ValueError("levels must be >= 1")
 

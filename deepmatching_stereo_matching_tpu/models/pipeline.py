@@ -72,18 +72,33 @@ def backtrack(maps: List[jnp.ndarray], args: List[jnp.ndarray]
 # ---------------------------------------------------------------------------
 
 
-def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
-                  geom: Geometry, impl: str = "pallas"
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(Hp, Wp) padded pair -> (disp_patch, score), both (H0, W0)."""
-    desc_l = descriptors.left_descriptors(left, cfg)
-    desc_r = descriptors.right_sliding_descriptors(right, cfg)
+def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
+                           cfg: Config, geom: Geometry, impl: str,
+                           reverse: bool = False, origin_offset: int = 0
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cost volume + pyramid + backtracking on prepared descriptors.
+
+    The shared core of both matching directions and of the sharded
+    tile-local pipeline (which passes halo-extended target descriptors
+    via `origin_offset`, SURVEY.md §5.7).
+    """
     cv = costvol_pallas.cost_volume if impl == "pallas" \
         else costvol_ops.cost_volume
-    cost0 = cv(desc_l, desc_r, geom.disparities, cfg.patch_size,
-               cfg.max_disparity)
+    cost0 = cv(desc_src, desc_tgt, geom.disparities, cfg.patch_size,
+               cfg.max_disparity, reverse=reverse,
+               origin_offset=origin_offset)
     maps, args = build_pyramid(cost0, geom.levels, cfg.lam)
     return backtrack(maps, args)
+
+
+def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
+                  geom: Geometry, impl: str = "pallas",
+                  reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Hp, Wp) padded pair -> (disp_patch, score), both (H0, W0)."""
+    desc_src = descriptors.left_descriptors(left, cfg)
+    desc_tgt = descriptors.right_sliding_descriptors(right, cfg)
+    return match_from_descriptors(desc_src, desc_tgt, cfg, geom, impl,
+                                  reverse=reverse)
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +134,7 @@ def match_padded(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
     """
     geom = cfg.geometry(height, width)
 
-    if cfg.lr_check:
+    if cfg.lr_check and cfg.lr_mode == "flip":
         # Batch L->R with the flipped R->L pass (d_R(x) = d'_L(W-1-x)).
         lefts = jnp.stack([left_p, right_p[:, ::-1]])
         rights = jnp.stack([right_p, left_p[:, ::-1]])
@@ -128,6 +143,19 @@ def match_padded(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
         disp_fwd, disp_rev = disp_patch[0], disp_patch[1]
         score = score_patch[0]
         disp_r_full = densify(disp_rev, cfg.patch_size)[:, ::-1]
+    elif cfg.lr_check:
+        # 'direct': match right->left with +d targets — descriptors are
+        # shared between the two directions, and no global flip is
+        # needed (this is the form that shards over W-tiles).
+        desc_l_p = descriptors.left_descriptors(left_p, cfg)
+        desc_l_s = descriptors.right_sliding_descriptors(left_p, cfg)
+        desc_r_p = descriptors.left_descriptors(right_p, cfg)
+        desc_r_s = descriptors.right_sliding_descriptors(right_p, cfg)
+        disp_fwd, score = match_from_descriptors(
+            desc_l_p, desc_r_s, cfg, geom, impl)
+        disp_rev, _ = match_from_descriptors(
+            desc_r_p, desc_l_s, cfg, geom, impl, reverse=True)
+        disp_r_full = densify(disp_rev, cfg.patch_size)
     else:
         disp_fwd, score = one_direction(left_p, right_p, cfg, geom, impl)
         disp_r_full = None

@@ -132,29 +132,36 @@ def right_sliding_descriptors(img: np.ndarray, cfg: Config) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def cost_volume(desc_l: np.ndarray, desc_r: np.ndarray, disparities: int,
-                patch_size: int, max_disparity: Optional[int] = None
-                ) -> np.ndarray:
-    """C0[i, j, d] = max(0, <descL[i, j], descR[i, patch_size*j - d]>).
+def cost_volume(desc_src: np.ndarray, desc_tgt: np.ndarray,
+                disparities: int, patch_size: int,
+                max_disparity: Optional[int] = None,
+                reverse: bool = False) -> np.ndarray:
+    """C0[i, j, d] = max(0, <src[i, j], tgt[i, patch_size*j -+ d]>).
 
-    Out-of-range targets (patch_size*j - d < 0) score 0, as do the
-    padding bins d >= max_disparity (D0 is max_disparity rounded up to a
-    multiple of 2**levels; the user-requested range must stay the
-    effective search range).  This is the reference's hot loop
-    (BASELINE.json:5 "per-patch correlation kernel, NumPy/loop code");
-    kept as an explicit Python loop over d.
+    Forward (reverse=False): src = left patches, tgt = right sliding
+    descriptors, target column p*j - d.  Reverse: src = right patches,
+    tgt = LEFT sliding descriptors, target column p*j + d — the direct
+    right-to-left pass used by lr_mode='direct' (SURVEY.md §3.5).
+
+    Out-of-range targets score 0, as do the padding bins
+    d >= max_disparity (D0 is max_disparity rounded up to a multiple of
+    2**levels; the user-requested range must stay the effective search
+    range).  This is the reference's hot loop (BASELINE.json:5
+    "per-patch correlation kernel, NumPy/loop code"); kept as an
+    explicit Python loop over d.
     Returns (H0, W0, D0) float32, values in [0, 1].
     """
-    h0, w0, _ = desc_l.shape
+    h0, w0, _ = desc_src.shape
+    wt = desc_tgt.shape[1]
     if max_disparity is None:
         max_disparity = disparities
     cost = np.zeros((h0, w0, disparities), dtype=np.float32)
-    xs = np.arange(w0) * patch_size  # left patch top-left columns
+    xs = np.arange(w0) * patch_size  # source patch top-left columns
     for d in range(min(disparities, max_disparity)):
-        x0 = xs - d
-        valid = x0 >= 0
-        tgt = desc_r[:, np.clip(x0, 0, None), :]  # (H0, W0, C)
-        corr = np.einsum("ijc,ijc->ij", desc_l, tgt)
+        x0 = xs + d if reverse else xs - d
+        valid = (x0 >= 0) & (x0 < wt)
+        tgt = desc_tgt[:, np.clip(x0, 0, wt - 1), :]  # (H0, W0, C)
+        corr = np.einsum("ijc,ijc->ij", desc_src, tgt)
         cost[:, :, d] = np.where(valid[None, :], np.maximum(corr, 0.0), 0.0)
     return cost
 
@@ -297,13 +304,18 @@ class OracleResult:
     disparity_right: Optional[np.ndarray]  # int32 (H, W) R->L pass (if run)
 
 
-def _one_direction(left: np.ndarray, right: np.ndarray, cfg: Config,
-                   geom: Geometry) -> Tuple[np.ndarray, np.ndarray]:
-    """Full single-direction pipeline on padded grayscale images."""
-    desc_l = left_descriptors(left, cfg)
-    desc_r = right_sliding_descriptors(right, cfg)
-    cost0 = cost_volume(desc_l, desc_r, geom.disparities, cfg.patch_size,
-                        cfg.max_disparity)
+def _one_direction(src: np.ndarray, tgt: np.ndarray, cfg: Config,
+                   geom: Geometry, reverse: bool = False
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Full single-direction pipeline on padded grayscale images.
+
+    Forward: src = left image, tgt = right image.  Reverse: src = right
+    image, tgt = left image, disparity searched at +d target columns.
+    """
+    desc_src = left_descriptors(src, cfg)
+    desc_tgt = right_sliding_descriptors(tgt, cfg)
+    cost0 = cost_volume(desc_src, desc_tgt, geom.disparities,
+                        cfg.patch_size, cfg.max_disparity, reverse=reverse)
     maps, args = build_pyramid(cost0, geom.levels, cfg.lam)
     return backtrack(maps, args)
 
@@ -332,11 +344,19 @@ def match_stereo(left: np.ndarray, right: np.ndarray,
     disp_r_px = None
     valid = np.ones((h, w), dtype=bool)
     if cfg.lr_check:
-        fl = np.ascontiguousarray(pl_[:, ::-1])
-        fr = np.ascontiguousarray(pr[:, ::-1])
-        disp_r_flip, _ = _one_direction(fr, fl, cfg, geom)
-        disp_r_full = densify(disp_r_flip, cfg.patch_size,
-                              geom.padded_height, geom.padded_width)[:, ::-1]
+        if cfg.lr_mode == "flip":
+            # d_R(x) = d'_L(W-1-x) of the horizontally flipped pair.
+            fl = np.ascontiguousarray(pl_[:, ::-1])
+            fr = np.ascontiguousarray(pr[:, ::-1])
+            disp_r_patch, _ = _one_direction(fr, fl, cfg, geom)
+            disp_r_full = densify(
+                disp_r_patch, cfg.patch_size,
+                geom.padded_height, geom.padded_width)[:, ::-1]
+        else:  # 'direct': match right->left without flipping
+            disp_r_patch, _ = _one_direction(pr, pl_, cfg, geom,
+                                             reverse=True)
+            disp_r_full = densify(disp_r_patch, cfg.patch_size,
+                                  geom.padded_height, geom.padded_width)
         disp_r_px = disp_r_full[:h, :w].astype(np.int32)
         valid &= lr_consistency(disp, disp_r_px, cfg.tau)
     if cfg.min_score > 0.0:
