@@ -122,18 +122,15 @@ def lr_consistency(disp_l: jnp.ndarray, disp_r: jnp.ndarray, tau: float
     return in_range & (jnp.abs(disp_l - d_r) <= tau)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "height", "width", "impl"))
-def match_padded(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
-                 height: int, width: int, impl: str = "pallas"
-                 ) -> Dict[str, jnp.ndarray]:
-    """Jitted core: padded grayscale f32 pair -> disparity outputs.
+def match_padded_core(left_p: jnp.ndarray, right_p: jnp.ndarray,
+                      cfg: Config, geom: Geometry, impl: str = "pallas"
+                      ) -> Dict[str, jnp.ndarray]:
+    """Padded pair -> PADDED (Hp, Wp) outputs; the shard-local core.
 
-    `cfg`, `height`, `width`, `impl` are static; retracing happens only
-    per (shape, config), as with any XLA program.
+    Uses only `geom`'s padded dims / levels / disparities, never the true
+    image size, so the sharded pipeline (parallel/sharded.py) can call it
+    per H-tile with a tile-local Geometry and crop outside the shard map.
     """
-    geom = cfg.geometry(height, width)
-
     if cfg.lr_check and cfg.lr_mode == "flip":
         # Batch L->R with the flipped R->L pass (d_R(x) = d'_L(W-1-x)).
         lefts = jnp.stack([left_p, right_p[:, ::-1]])
@@ -160,13 +157,13 @@ def match_padded(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
         disp_fwd, score = one_direction(left_p, right_p, cfg, geom, impl)
         disp_r_full = None
 
-    disp_px = densify(disp_fwd, cfg.patch_size)[:height, :width]
-    score_px = densify(score, cfg.patch_size)[:height, :width]
+    disp_px = densify(disp_fwd, cfg.patch_size)
+    score_px = densify(score, cfg.patch_size)
 
-    valid = jnp.ones((height, width), dtype=bool)
-    disp_r_px = jnp.zeros((height, width), dtype=jnp.int32)
+    valid = jnp.ones(disp_px.shape, dtype=bool)
+    disp_r_px = jnp.zeros(disp_px.shape, dtype=jnp.int32)
     if cfg.lr_check:
-        disp_r_px = disp_r_full[:height, :width]
+        disp_r_px = disp_r_full
         valid &= lr_consistency(disp_px, disp_r_px, cfg.tau)
     if cfg.min_score > 0.0:
         valid &= score_px >= cfg.min_score
@@ -180,3 +177,24 @@ def match_padded(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
         "score": score_px,
         "disparity_right": disp_r_px,
     }
+
+
+def crop(outputs: Dict[str, jnp.ndarray], height: int, width: int
+         ) -> Dict[str, jnp.ndarray]:
+    """Crop padded (… Hp, Wp) outputs back to the true image size."""
+    return {k: v[..., :height, :width] for k, v in outputs.items()}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "height", "width", "impl"))
+def match_padded(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
+                 height: int, width: int, impl: str = "pallas"
+                 ) -> Dict[str, jnp.ndarray]:
+    """Jitted single-device pipeline: padded f32 pair -> cropped outputs.
+
+    `cfg`, `height`, `width`, `impl` are static; retracing happens only
+    per (shape, config), as with any XLA program.
+    """
+    geom = cfg.geometry(height, width)
+    return crop(match_padded_core(left_p, right_p, cfg, geom, impl),
+                height, width)

@@ -54,10 +54,12 @@ def cost_volume(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
       max_disparity: effective search bound (static).
       reverse: direction of the disparity shift (static).
       origin_offset: left extension of desc_tgt in patch columns (static).
-      d_offset: first GLOBAL disparity bin computed by this call (static)
-        — the volume covers global bins [d_offset, d_offset+disparities),
+      d_offset: first GLOBAL disparity bin computed by this call — the
+        volume covers global bins [d_offset, d_offset+disparities),
         which is how a disparity slab shards over a mesh axis
-        (SURVEY.md §2.3 "disparity-slab parallelism").
+        (SURVEY.md §2.3 "disparity-slab parallelism").  May be a traced
+        scalar (e.g. `axis_index * slab`), so one shard_map program
+        serves every slab.
 
     Returns: (H0, W0, disparities) float32.
     """
@@ -76,5 +78,6 @@ def cost_volume(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
 
     _, planes = jax.lax.scan(
         lambda _, d: (None, one_d(d)), None,
-        jnp.arange(d_offset, d_offset + disparities, dtype=jnp.int32))
+        jnp.arange(disparities, dtype=jnp.int32)
+        + jnp.asarray(d_offset, dtype=jnp.int32))
     return jnp.moveaxis(planes, 0, -1)  # (H0, W0, disparities)

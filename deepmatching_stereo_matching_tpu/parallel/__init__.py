@@ -1,0 +1,21 @@
+"""Mesh construction and sharded pipelines (SURVEY.md §2.3/§2.4, §5.7/§5.8)."""
+
+from .mesh import auto_mesh, make_mesh, tiled_geometry
+from .sharded import (
+    input_sharding,
+    match_batch_dslab,
+    match_batch_sharded,
+    match_batch_tiled,
+    pad_batch,
+)
+
+__all__ = [
+    "auto_mesh",
+    "make_mesh",
+    "tiled_geometry",
+    "input_sharding",
+    "match_batch_dslab",
+    "match_batch_sharded",
+    "match_batch_tiled",
+    "pad_batch",
+]
