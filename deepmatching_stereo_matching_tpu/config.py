@@ -59,6 +59,13 @@ class Config:
         'bfloat16'; f32 is the bit-comparability default, SURVEY.md §7
         hard part 5).
       min_top_disparities: used by automatic level selection.
+      median_filter: odd window size of the post-filter median over the
+        final disparity map (C13, SURVEY.md §2.1; 0 disables).  Invalid
+        pixels are excluded from each window; the lower median is taken,
+        so integer disparities stay integral.
+      fill_invalid: fill invalidated pixels with the smaller of the
+        nearest valid disparities left/right on the scanline (classic
+        occlusion background-fill; C13).
     """
 
     max_disparity: int = 64
@@ -76,6 +83,8 @@ class Config:
     invalid_value: float = float("nan")
     dtype: str = "float32"
     min_top_disparities: int = 4
+    median_filter: int = 0
+    fill_invalid: bool = False
 
     def __post_init__(self) -> None:
         if self.max_disparity < 1:
@@ -92,6 +101,9 @@ class Config:
             raise ValueError(f"unknown lr_mode: {self.lr_mode!r}")
         if self.levels is not None and self.levels < 1:
             raise ValueError("levels must be >= 1")
+        if self.median_filter and (self.median_filter < 0
+                                   or self.median_filter % 2 == 0):
+            raise ValueError("median_filter must be 0 or an odd window size")
 
     # ---- derived static geometry -------------------------------------
 

@@ -27,6 +27,7 @@ from ..config import Config, Geometry
 from ..ops import costvol as costvol_ops
 from ..ops import costvol_pallas
 from ..ops import pool as pool_ops
+from ..ops import postfilter as postfilter_ops
 from ..ops._dispatch import implementation
 from . import descriptors
 
@@ -196,5 +197,24 @@ def match_padded(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
     per (shape, config), as with any XLA program.
     """
     geom = cfg.geometry(height, width)
-    return crop(match_padded_core(left_p, right_p, cfg, geom, impl),
-                height, width)
+    out = crop(match_padded_core(left_p, right_p, cfg, geom, impl),
+               height, width)
+    return apply_postfilter(out, cfg)
+
+
+def apply_postfilter(out: Dict[str, jnp.ndarray], cfg: Config
+                     ) -> Dict[str, jnp.ndarray]:
+    """C13 tail on cropped outputs (leading batch dims allowed).
+
+    Runs outside the shard_map cores — a k*k median window crosses
+    H-tile boundaries, and at O(H*W) this tail is cheapest left to
+    XLA's automatic partitioning (ops/postfilter.py docstring).
+    """
+    if not (cfg.median_filter or cfg.fill_invalid):
+        return out
+    f = lambda d: postfilter_ops.postfilter(  # noqa: E731
+        d, cfg.median_filter, cfg.fill_invalid)
+    disp = out["disparity"]
+    for _ in range(disp.ndim - 2):
+        f = jax.vmap(f)
+    return {**out, "disparity": f(disp)}

@@ -291,6 +291,64 @@ def lr_consistency(disp_l: np.ndarray, disp_r: np.ndarray, tau: float
 
 
 # ---------------------------------------------------------------------------
+# Post-filtering (C13) — presence in the reference unverified [K-low];
+# included for parity safety (SURVEY.md §2 row C13), off by default.
+# Semantics match ops/postfilter.py bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def median_valid(disp: np.ndarray, k: int, keep_invalid_center: bool
+                 ) -> np.ndarray:
+    """Lower-median of the valid values in each edge-clamped k*k window."""
+    h, w = disp.shape
+    r = k // 2
+    rows = np.clip(np.arange(h)[:, None] + np.arange(-r, r + 1)[None, :],
+                   0, h - 1)
+    cols = np.clip(np.arange(w)[:, None] + np.arange(-r, r + 1)[None, :],
+                   0, w - 1)
+    win = disp[rows][:, :, cols].transpose(0, 2, 1, 3).reshape(h, w, k * k)
+    finite = np.isfinite(win)
+    n = finite.sum(axis=-1)
+    vals = np.sort(np.where(finite, win, np.inf), axis=-1)
+    idx = np.maximum(n - 1, 0) // 2
+    med = np.take_along_axis(vals, idx[..., None], axis=-1)[..., 0]
+    out = np.where(n > 0, med, disp)
+    if keep_invalid_center:
+        out = np.where(np.isfinite(disp), out, disp)
+    return out.astype(np.float32)
+
+
+def fill_background(disp: np.ndarray) -> np.ndarray:
+    """Fill invalid pixels with min(nearest valid left, right) per row."""
+    h, w = disp.shape
+    valid = np.isfinite(disp)
+    iota = np.broadcast_to(np.arange(w, dtype=np.int32), (h, w))
+    left_idx = np.maximum.accumulate(np.where(valid, iota, -1), axis=1)
+    right_idx = (w - 1 - np.maximum.accumulate(
+        np.where(valid, w - 1 - iota, -1)[:, ::-1], axis=1))[:, ::-1]
+    safe = np.where(valid, disp, np.inf)
+    left_val = np.where(left_idx >= 0,
+                        np.take_along_axis(safe, np.maximum(left_idx, 0),
+                                           axis=1), np.inf)
+    right_val = np.where(right_idx <= w - 1,
+                         np.take_along_axis(safe,
+                                            np.minimum(right_idx, w - 1),
+                                            axis=1), np.inf)
+    fill = np.minimum(left_val, right_val)
+    filled = np.where(valid, disp, fill)
+    return np.where(np.isfinite(filled), filled, disp).astype(np.float32)
+
+
+def postfilter(disp: np.ndarray, median: int, fill: bool) -> np.ndarray:
+    out = disp
+    if median:
+        out = median_valid(out, median, keep_invalid_center=not fill)
+    if fill:
+        out = fill_background(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # End-to-end pipeline (C15)
 # ---------------------------------------------------------------------------
 
@@ -364,6 +422,8 @@ def match_stereo(left: np.ndarray, right: np.ndarray,
 
     out = disp.astype(np.float32)
     out[~valid] = np.float32(cfg.invalid_value)
+    if cfg.median_filter or cfg.fill_invalid:
+        out = postfilter(out, cfg.median_filter, cfg.fill_invalid)
     return OracleResult(
         disparity=out,
         disparity_raw=disp,

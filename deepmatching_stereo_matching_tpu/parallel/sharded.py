@@ -68,7 +68,8 @@ def match_batch_tiled(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
     spec = P("data", "model", None)
     out = shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec),
                     out_specs=spec)(lefts_p, rights_p)
-    return pipeline.crop(out, height, width)
+    return pipeline.apply_postfilter(
+        pipeline.crop(out, height, width), cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +184,8 @@ def match_batch_dslab(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
         shard_fn, mesh=mesh,
         in_specs=(P("data", None, None), P("data", None, None)),
         out_specs=P("data", "model", None))(lefts_p, rights_p)
-    return pipeline.crop(out, height, width)
+    return pipeline.apply_postfilter(
+        pipeline.crop(out, height, width), cfg)
 
 
 # ---------------------------------------------------------------------------
