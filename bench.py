@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 H, W, MAX_D = 375, 450, 64
-BATCH = 4
+BATCH = 16
 ITERS = 10
 ORACLE_FILE = os.path.join(REPO, "ORACLE_BASELINE.json")
 

@@ -51,20 +51,36 @@ def build_pyramid(cost0: jnp.ndarray, levels: int, lam: float
     return maps, args
 
 
+def _select_at(values: jnp.ndarray, k: jnp.ndarray,
+               acc_dtype) -> jnp.ndarray:
+    """values[i, j, k[i, j]] without a gather.
+
+    Per-pixel gathers along the disparity (lane) axis scalarize on TPU
+    (~10-40x slower than vector ops); a one-hot compare + lane-reduce is
+    mathematically identical — exactly one position matches, so the sum
+    IS the selected element — and stays fully vectorized on the VPU.
+    """
+    d = jnp.arange(values.shape[-1], dtype=jnp.int32)
+    sel = k[:, :, None] == d
+    zero = jnp.zeros((), dtype=values.dtype)
+    return jnp.sum(jnp.where(sel, values, zero), axis=-1, dtype=acc_dtype)
+
+
 def backtrack(maps: List[jnp.ndarray], args: List[jnp.ndarray]
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense top-down argmax propagation (SURVEY.md §3.4).
 
     Returns (disp_patch int32 (H0, W0), score float32 (H0, W0)).
-    Matches oracle/reference.py:backtrack exactly.
+    Matches oracle/reference.py:backtrack exactly (the one-hot reduce
+    selects the same elements the oracle's take_along_axis gathers).
     """
     levels = len(args)
     k = jnp.argmax(maps[levels], axis=-1).astype(jnp.int32)
     for lvl in range(levels - 1, -1, -1):
         kr = jnp.repeat(jnp.repeat(k, 2, axis=0), 2, axis=1)
-        off = jnp.take_along_axis(args[lvl], kr[:, :, None], axis=2)[:, :, 0]
+        off = _select_at(args[lvl], kr, jnp.int32)
         k = 2 * kr + off
-    score = jnp.take_along_axis(maps[0], k[:, :, None], axis=2)[:, :, 0]
+    score = _select_at(maps[0], k, jnp.float32)
     return k, score
 
 
@@ -112,14 +128,34 @@ def densify(patchwise: jnp.ndarray, patch_size: int) -> jnp.ndarray:
                       patch_size, axis=1)
 
 
-def lr_consistency(disp_l: jnp.ndarray, disp_r: jnp.ndarray, tau: float
-                   ) -> jnp.ndarray:
-    """valid[y, x] = |dL[y,x] - dR[y, x - dL[y,x]]| <= tau."""
-    w = disp_l.shape[1]
+def lr_consistency(disp_l: jnp.ndarray, disp_r: jnp.ndarray, tau: float,
+                   num_disparities: int) -> jnp.ndarray:
+    """valid[y, x] = |dL[y,x] - dR[y, x - dL[y,x]]| <= tau.
+
+    The data-dependent gather dR[y, x - dL] scalarizes on TPU (it was
+    the single most expensive op of the whole pipeline); since dL is
+    bounded by `num_disparities`, it is computed instead as a
+    `lax.scan` over the possible shifts s: each step dynamic-slices the
+    left-padded dR by s and selects it where dL == s — pure windowed
+    DMA + elementwise selects, bit-identical to the gather.
+    """
+    h, w = disp_l.shape
+    pad = jnp.full((h, num_disparities), jnp.iinfo(jnp.int32).min // 2,
+                   dtype=disp_r.dtype)
+    padded = jnp.concatenate([pad, disp_r], axis=1)
+
+    def body(acc, s):
+        shifted = jax.lax.dynamic_slice(
+            padded, (jnp.int32(0), num_disparities - s), (h, w))
+        return jnp.where(disp_l == s, shifted, acc), None
+
+    # full_like keeps the carry's sharding/varying-axes type equal to
+    # the per-step output under shard_map (a fresh jnp.full would not).
+    init = jnp.full_like(disp_r, jnp.iinfo(jnp.int32).min // 2)
+    d_r, _ = jax.lax.scan(
+        body, init, jnp.arange(num_disparities, dtype=jnp.int32))
     xs = jnp.arange(w, dtype=jnp.int32)[None, :]
-    xr = xs - disp_l
-    in_range = (xr >= 0) & (xr < w)
-    d_r = jnp.take_along_axis(disp_r, jnp.clip(xr, 0, w - 1), axis=1)
+    in_range = disp_l <= xs
     return in_range & (jnp.abs(disp_l - d_r) <= tau)
 
 
@@ -165,7 +201,8 @@ def match_padded_core(left_p: jnp.ndarray, right_p: jnp.ndarray,
     disp_r_px = jnp.zeros(disp_px.shape, dtype=jnp.int32)
     if cfg.lr_check:
         disp_r_px = disp_r_full
-        valid &= lr_consistency(disp_px, disp_r_px, cfg.tau)
+        valid &= lr_consistency(disp_px, disp_r_px, cfg.tau,
+                                geom.disparities)
     if cfg.min_score > 0.0:
         valid &= score_px >= cfg.min_score
 

@@ -21,15 +21,26 @@ def pool3_subsample(maps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     the offset of the pool winner around d = 2k (pad value -1.0 < every
     valid correlation, so winners always point in range; ties pick the
     smallest d).
+
+    Computed subsample-first: only the even-d pool windows are ever
+    needed, and window {2k-1, 2k, 2k+1} is {odd[k-1], even[k], odd[k]}
+    after deinterleaving maps into even/odd disparity planes — two
+    strided slices plus pure elementwise max/compare, no (H, W, D, 3)
+    stack or cross-axis argmax.  The comparison chain (lo first, then
+    centre, then hi) reproduces NumPy first-max argmax semantics
+    bit-for-bit (oracle/reference.py:pool3_subsample).  arg is int8 to
+    quarter the HBM traffic of the recorded backtracking indices.
     """
     h, w, d = maps.shape
+    even = maps[:, :, 0::2]                               # d = 2k
+    odd = maps[:, :, 1::2]                                # d = 2k+1
     pad = jnp.full((h, w, 1), -1.0, dtype=maps.dtype)
-    lo = jnp.concatenate([pad, maps[:, :, :-1]], axis=2)   # offset -1
-    hi = jnp.concatenate([maps[:, :, 1:], pad], axis=2)    # offset +1
-    stack = jnp.stack([lo, maps, hi], axis=-1)
-    arg = jnp.argmax(stack, axis=-1).astype(jnp.int32) - 1  # first max
-    pooled = jnp.max(stack, axis=-1)
-    return pooled[:, :, ::2], arg[:, :, ::2]
+    lo = jnp.concatenate([pad, odd[:, :, :-1]], axis=2)   # d = 2k-1
+    pooled = jnp.maximum(jnp.maximum(lo, even), odd)
+    arg = jnp.where(
+        pooled == lo, jnp.int8(-1),
+        jnp.where(pooled == even, jnp.int8(0), jnp.int8(1)))
+    return pooled, arg
 
 
 def aggregate_children(sub: jnp.ndarray, lam: float) -> jnp.ndarray:

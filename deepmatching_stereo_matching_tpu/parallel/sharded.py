@@ -166,7 +166,8 @@ def match_batch_dslab(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
         if cfg.lr_check:
             disp_r_px = disp_r
             valid &= jax.vmap(
-                lambda a, b_: pipeline.lr_consistency(a, b_, cfg.tau)
+                lambda a, b_: pipeline.lr_consistency(
+                    a, b_, cfg.tau, local.disparities)
             )(disp_px, disp_r_px)
         if cfg.min_score > 0.0:
             valid &= score_px >= cfg.min_score
