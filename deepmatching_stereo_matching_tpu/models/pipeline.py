@@ -101,19 +101,23 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
     """
     cv = costvol_pallas.cost_volume if impl == "pallas" \
         else costvol_ops.cost_volume
-    cost0 = cv(desc_src, desc_tgt, geom.disparities, cfg.patch_size,
-               cfg.max_disparity, reverse=reverse,
-               origin_offset=origin_offset)
-    maps, args = build_pyramid(cost0, geom.levels, cfg.lam)
-    return backtrack(maps, args)
+    with jax.named_scope("costvol"):
+        cost0 = cv(desc_src, desc_tgt, geom.disparities, cfg.patch_size,
+                   cfg.max_disparity, reverse=reverse,
+                   origin_offset=origin_offset)
+    with jax.named_scope("pyramid"):
+        maps, args = build_pyramid(cost0, geom.levels, cfg.lam)
+    with jax.named_scope("backtrack"):
+        return backtrack(maps, args)
 
 
 def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
                   geom: Geometry, impl: str = "pallas",
                   reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(Hp, Wp) padded pair -> (disp_patch, score), both (H0, W0)."""
-    desc_src = descriptors.left_descriptors(left, cfg)
-    desc_tgt = descriptors.right_sliding_descriptors(right, cfg)
+    with jax.named_scope("descriptors"):
+        desc_src = descriptors.left_descriptors(left, cfg)
+        desc_tgt = descriptors.right_sliding_descriptors(right, cfg)
     return match_from_descriptors(desc_src, desc_tgt, cfg, geom, impl,
                                   reverse=reverse)
 

@@ -1,6 +1,7 @@
 """Mesh construction and sharded pipelines (SURVEY.md §2.3/§2.4, §5.7/§5.8)."""
 
 from .mesh import auto_mesh, make_mesh, tiled_geometry
+from .runner import StreamReport, init_distributed, run_stream, scaling_sweep
 from .sharded import (
     input_sharding,
     match_batch_dslab,
@@ -10,6 +11,10 @@ from .sharded import (
 )
 
 __all__ = [
+    "StreamReport",
+    "init_distributed",
+    "run_stream",
+    "scaling_sweep",
     "auto_mesh",
     "make_mesh",
     "tiled_geometry",

@@ -1,0 +1,213 @@
+"""Multi-host batched stereo stream with failure recovery (SURVEY.md §5.3, M5).
+
+The reference is a single-process script with no failure story; the
+TPU-native replacement is a streaming runner over a device mesh:
+
+  * `init_distributed` brings up the JAX coordination service for
+    multi-host slices (no-op single-host); each host then holds the
+    process-local shards of every global batch.
+  * `run_stream` drives batches of stereo pairs through a sharded
+    pipeline (parallel/sharded.py).  The per-pair pipeline is stateless
+    and short (SURVEY.md §5.3/§5.4) so recovery needs no checkpoints:
+    the stream records the last completed batch index, failed batches
+    are retried `max_retries` times, and a restarted job resumes with
+    `start_batch` = the recorded index.  Structured JSONL metrics are
+    emitted per batch (utils/logging.py).
+
+Under axon/test environments the same runner executes on a virtual CPU
+mesh (tests/test_runner.py) — the Mesh-shaped interface is identical on
+a v5e slice (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..utils.logging import JsonlLogger
+from . import sharded
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX; returns this host's process index.
+
+    Single-host (all args None): no-op, returns 0.  Multi-host: brings
+    up the coordination service, which also provides failure detection —
+    a lost host fails collectives on the survivors, surfacing as a
+    retryable error in `run_stream` (SURVEY.md §5.3).
+    """
+    if coordinator_address is None:
+        return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return jax.process_index()
+
+
+@dataclasses.dataclass
+class StreamReport:
+    """Summary of one `run_stream` call."""
+
+    batches_completed: int
+    pairs_completed: int
+    retries: int
+    seconds: float
+    mpx_per_s: float
+
+
+def run_stream(pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
+               cfg: Config, height: int, width: int,
+               mesh: Optional[jax.sharding.Mesh] = None,
+               strategy: str = "tiled",
+               batch_size: int = 8,
+               impl: str = "jnp",
+               start_batch: int = 0,
+               max_retries: int = 2,
+               on_result: Optional[Callable[[int, dict], None]] = None,
+               logger: Optional[JsonlLogger] = None,
+               _match_fn: Optional[Callable] = None) -> StreamReport:
+    """Run a stream of stereo pairs through the sharded pipeline.
+
+    Args:
+      pairs: iterable of (left, right) arrays, all height x width.
+      mesh: device mesh; default `parallel.auto_mesh()`.
+      start_batch: skip batches below this index (resume-after-restart).
+      max_retries: per-batch retry budget for transient device/host
+        failures; exceeded -> the error propagates.
+      on_result: callback(batch_index, host_outputs_dict).
+      _match_fn: test hook replacing the jitted sharded step
+        (fault injection, SURVEY.md §5.3).
+    Returns a StreamReport; emits per-batch JSONL metrics via `logger`.
+    """
+    from . import mesh as mesh_lib
+
+    if mesh is None:
+        mesh = mesh_lib.auto_mesh()
+    log = logger or JsonlLogger()
+    match = _match_fn or (
+        lambda lp, rp: sharded.match_batch_sharded(
+            lp, rp, cfg, height, width, mesh, strategy, impl))
+    sharding = sharded.input_sharding(mesh, strategy)
+    n_data = mesh.shape["data"]
+    if batch_size % n_data:
+        raise ValueError(f"batch_size {batch_size} must divide the "
+                         f"data axis ({n_data})")
+
+    t_start = time.perf_counter()
+    done = retries = 0
+    batch: List[Tuple[np.ndarray, np.ndarray]] = []
+    index = 0
+
+    def flush(batch, index):
+        nonlocal done, retries
+        if index < start_batch:
+            return
+        lefts = sharded.pad_batch([p[0] for p in batch], cfg, height,
+                                  width, mesh, strategy)
+        rights = sharded.pad_batch([p[1] for p in batch], cfg, height,
+                                   width, mesh, strategy)
+        attempt = 0
+        while True:
+            try:
+                t0 = time.perf_counter()
+                lp = jax.device_put(lefts, sharding)
+                rp = jax.device_put(rights, sharding)
+                out = match(lp, rp)
+                out = {k: np.asarray(v) for k, v in out.items()}
+                dt = time.perf_counter() - t0
+                break
+            except Exception as e:  # lost host / transient device error
+                attempt += 1
+                retries += 1
+                log.log("batch_retry", batch=index, attempt=attempt,
+                        error=repr(e)[:200])
+                if attempt > max_retries:
+                    log.log("stream_failed", batch=index,
+                            completed_batches=done)
+                    raise
+        done += 1
+        log.log("batch_done", batch=index, pairs=len(batch),
+                seconds=round(dt, 4),
+                mpx_per_s=round(len(batch) * height * width * 1e-6 / dt,
+                                3))
+        if on_result is not None:
+            on_result(index, out)
+
+    for pair in pairs:
+        batch.append(pair)
+        if len(batch) == batch_size:
+            flush(batch, index)
+            batch = []
+            index += 1
+    if batch:
+        # Pad the tail batch by repeating the last pair (results for the
+        # padded slots are discarded by the caller via the pair count).
+        tail = len(batch)
+        while len(batch) % batch_size:
+            batch.append(batch[-1])
+        log.log("tail_batch", batch=index, real_pairs=tail)
+        flush(batch, index)
+
+    seconds = time.perf_counter() - t_start
+    pairs_done = done * batch_size
+    report = StreamReport(
+        batches_completed=done,
+        pairs_completed=pairs_done,
+        retries=retries,
+        seconds=seconds,
+        mpx_per_s=pairs_done * height * width * 1e-6 / max(seconds, 1e-9),
+    )
+    log.log("stream_done", **dataclasses.asdict(report))
+    return report
+
+
+def scaling_sweep(cfg: Config, height: int, width: int,
+                  mesh_sizes: Sequence[int],
+                  batch_size: int = 8, n_batches: int = 4,
+                  strategy: str = "tiled", impl: str = "jnp",
+                  seed: int = 0) -> List[dict]:
+    """Mpx/s at several mesh widths -> scaling-efficiency table (M5).
+
+    Runs the same synthetic workload on meshes of each size (devices
+    permitting) and reports throughput plus efficiency relative to the
+    smallest mesh (BASELINE.md scaling target).
+    """
+    from ..data import synthetic
+    from . import mesh as mesh_lib
+
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for i in range(batch_size * n_batches):
+        field = synthetic.block_disparity_field(
+            height, width, cfg.max_disparity, rng, block=32)
+        left, right, _ = synthetic.make_pair(height, width, field,
+                                             seed=seed + i)
+        pairs.append((left, right))
+
+    rows = []
+    base = None
+    for n in mesh_sizes:
+        if n > len(jax.devices()):
+            continue
+        n_data = 2 if (n % 2 == 0 and batch_size % 2 == 0 and n > 1) else 1
+        mesh = mesh_lib.make_mesh(n_data, n // n_data)
+        # Warm-up compile outside the timed stream.
+        run_stream(pairs[:batch_size], cfg, height, width, mesh,
+                   strategy, batch_size, impl)
+        rep = run_stream(pairs, cfg, height, width, mesh, strategy,
+                         batch_size, impl)
+        row = {"devices": n, "mesh": dict(mesh.shape),
+               "mpx_per_s": round(rep.mpx_per_s, 3)}
+        if base is None:
+            base = (n, rep.mpx_per_s)
+        row["scaling_efficiency"] = round(
+            (rep.mpx_per_s / base[1]) / (n / base[0]), 3)
+        rows.append(row)
+    return rows
