@@ -101,6 +101,16 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
     """
     cv = costvol_pallas.cost_volume if impl == "pallas" \
         else costvol_ops.cost_volume
+    if cfg.dtype != "float32":
+        # bf16 mode (SURVEY.md §7 hard part 5): descriptors are built
+        # and normalised in f32, then the cost volume and pyramid run in
+        # bf16 (half the HBM traffic); dot products still accumulate in
+        # f32 inside the kernels.  Not bit-comparable to the oracle —
+        # quality is held to the bad-pixel bound instead
+        # (tests/test_bf16.py).
+        dt = jnp.dtype(cfg.dtype)
+        desc_src = desc_src.astype(dt)
+        desc_tgt = desc_tgt.astype(dt)
     with jax.named_scope("costvol"):
         cost0 = cv(desc_src, desc_tgt, geom.disparities, cfg.patch_size,
                    cfg.max_disparity, reverse=reverse,

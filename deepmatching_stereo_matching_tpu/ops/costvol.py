@@ -68,13 +68,17 @@ def cost_volume(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
     xs = jnp.arange(w0, dtype=jnp.int32) * patch_size \
         + patch_size * origin_offset
 
+    dt = desc_src.dtype
+
     def one_d(d: jnp.ndarray) -> jnp.ndarray:
         x0 = xs + d if reverse else xs - d
         valid = (x0 >= 0) & (x0 < wt) & (d < max_disparity)
         tgt = jnp.take(desc_tgt, jnp.clip(x0, 0, wt - 1), axis=1)
-        corr = jnp.einsum("ijc,ijc->ij", desc_src, tgt, precision=_HI)
-        return jnp.where(valid[None, :], jnp.maximum(corr, 0.0),
-                         jnp.float32(0.0))
+        # f32 accumulation regardless of storage dtype (bf16 mode).
+        corr = jnp.einsum("ijc,ijc->ij", desc_src, tgt, precision=_HI,
+                          preferred_element_type=jnp.float32)
+        corr = jnp.maximum(corr, 0.0).astype(dt)
+        return jnp.where(valid[None, :], corr, jnp.zeros((), dt))
 
     _, planes = jax.lax.scan(
         lambda _, d: (None, one_d(d)), None,

@@ -59,26 +59,28 @@ def _kernel(s_ref, rq_ref, out_ref, *, disparities: int, patch_size: int,
     s_tile = s_ref[0]          # (C, W0)
     c_dim, w0 = s_tile.shape
     wr = rq_ref.shape[-1]
+    dt = out_ref.dtype
     for d in range(disparities):
         if d >= max_disparity:
-            out_ref[0, d, :] = jnp.zeros((w0,), dtype=jnp.float32)
+            out_ref[0, d, :] = jnp.zeros((w0,), dtype=dt)
             continue
         phase, st = _phase_and_start(d, patch_size, origin_offset, reverse)
         lpad = max(0, -st)
         rpad = max(0, st + w0 - wr)
         if lpad + rpad >= w0:
-            out_ref[0, d, :] = jnp.zeros((w0,), dtype=jnp.float32)
+            out_ref[0, d, :] = jnp.zeros((w0,), dtype=dt)
             continue
         core = rq_ref[0, phase][:, max(0, st): min(wr, st + w0)]
         parts = []
         if lpad:
-            parts.append(jnp.zeros((c_dim, lpad), dtype=jnp.float32))
+            parts.append(jnp.zeros((c_dim, lpad), dtype=dt))
         parts.append(core)
         if rpad:
-            parts.append(jnp.zeros((c_dim, rpad), dtype=jnp.float32))
+            parts.append(jnp.zeros((c_dim, rpad), dtype=dt))
         shifted = jnp.concatenate(parts, axis=1) if len(parts) > 1 else core
-        corr = jnp.sum(s_tile * shifted, axis=0)      # (W0,) sublane reduce
-        out_ref[0, d, :] = jnp.maximum(corr, 0.0)
+        # f32 accumulation even for bf16 storage (sublane reduce).
+        corr = jnp.sum(s_tile * shifted, axis=0, dtype=jnp.float32)
+        out_ref[0, d, :] = jnp.maximum(corr, 0.0).astype(dt)
 
 
 @functools.partial(jax.jit,
@@ -108,7 +110,8 @@ def _cost_volume_rows(desc_s_t: jnp.ndarray, rq: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, disparities, w0), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h0, disparities, w0), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((h0, disparities, w0),
+                                       desc_s_t.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * h0 * w0 * max_disparity * c,
             bytes_accessed=4 * h0 * (w0 * (c + disparities) + p * c * wr),

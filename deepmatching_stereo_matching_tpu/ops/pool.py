@@ -47,7 +47,9 @@ def aggregate_children(sub: jnp.ndarray, lam: float) -> jnp.ndarray:
     """Quadtree 4-child average + x**lam rectification ([DM §3.2])."""
     h, w, k = sub.shape
     quad = sub.reshape(h // 2, 2, w // 2, 2, k)
-    # Fixed summation order — identical to the oracle and across shardings.
+    # Fixed summation order — identical to the oracle and across
+    # shardings; constants in the map dtype so bf16 maps stay bf16.
     merged = ((quad[:, 0, :, 0] + quad[:, 0, :, 1])
-              + (quad[:, 1, :, 0] + quad[:, 1, :, 1])) * jnp.float32(0.25)
-    return jnp.power(merged, jnp.float32(lam))
+              + (quad[:, 1, :, 0] + quad[:, 1, :, 1])
+              ) * jnp.asarray(0.25, sub.dtype)
+    return jnp.power(merged, jnp.asarray(lam, sub.dtype))
