@@ -173,6 +173,58 @@ def lr_consistency(disp_l: jnp.ndarray, disp_r: jnp.ndarray, tau: float,
     return in_range & (jnp.abs(disp_l - d_r) <= tau)
 
 
+def lr_consistency_patch(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
+                         tau: float, num_disparities: int, patch_size: int
+                         ) -> jnp.ndarray:
+    """Pixel-level LR validity from PATCH-level disparity maps.
+
+    Bit-identical to `lr_consistency` on the densified maps, exploiting
+    that both maps are constant over p x p patch blocks: with
+    dL = p*q + r, pixel column x = p*J + c reads dR's patch column
+    J - q (when c >= r) or J - q - 1 (when c < r).  The shift scan
+    therefore runs over q in [0, D/p) on (H0, W0) patch maps — p times
+    fewer steps on p^2 times fewer elements than the pixel formulation
+    (it replaced the single most expensive op of the jitted program
+    twice over; see the gather note on `lr_consistency`).
+
+    Args:
+      disp_l/disp_r: (H0, W0) int32 patch disparities.
+    Returns: (H0*p, W0*p) bool pixel validity.
+    """
+    h0, w0 = disp_l.shape
+    p = patch_size
+    n_q = (num_disparities + p - 1) // p
+    sentinel = jnp.iinfo(jnp.int32).min // 2
+    pad = jnp.full((h0, n_q + 1), sentinel, dtype=disp_r.dtype)
+    padded = jnp.concatenate([pad, disp_r], axis=1)
+    q_l = disp_l // p
+    r_l = disp_l % p
+
+    def body(carry, s):
+        a, b = carry
+        # dR[I, J - s] and dR[I, J - s - 1] for patches with q == s.
+        sh_a = jax.lax.dynamic_slice(padded, (jnp.int32(0), n_q + 1 - s),
+                                     (h0, w0))
+        sh_b = jax.lax.dynamic_slice(padded, (jnp.int32(0), n_q - s),
+                                     (h0, w0))
+        take = q_l == s
+        return (jnp.where(take, sh_a, a), jnp.where(take, sh_b, b)), None
+
+    init = (jnp.full_like(disp_r, sentinel), jnp.full_like(disp_r, sentinel))
+    (d_r_a, d_r_b), _ = jax.lax.scan(
+        body, init, jnp.arange(n_q, dtype=jnp.int32))
+
+    ok_a = jnp.abs(disp_l - d_r_a) <= tau
+    ok_b = jnp.abs(disp_l - d_r_b) <= tau
+    # Per sub-column c: select A/B on c >= r, and in-range x >= dL.
+    c = jnp.arange(p, dtype=jnp.int32)[None, None, :]
+    xs = (jnp.arange(w0, dtype=jnp.int32) * p)[None, :, None] + c
+    valid = jnp.where(c >= r_l[:, :, None], ok_a[:, :, None],
+                      ok_b[:, :, None])
+    valid &= disp_l[:, :, None] <= xs
+    return jnp.repeat(valid.reshape(h0, w0 * p), p, axis=0)
+
+
 def match_padded_core(left_p: jnp.ndarray, right_p: jnp.ndarray,
                       cfg: Config, geom: Geometry, impl: str = "pallas"
                       ) -> Dict[str, jnp.ndarray]:
@@ -190,7 +242,9 @@ def match_padded_core(left_p: jnp.ndarray, right_p: jnp.ndarray,
             lambda l, r: one_direction(l, r, cfg, geom, impl))(lefts, rights)
         disp_fwd, disp_rev = disp_patch[0], disp_patch[1]
         score = score_patch[0]
-        disp_r_full = densify(disp_rev, cfg.patch_size)[:, ::-1]
+        # Flip at patch level: densify(x)[:, ::-1] == densify(x[:, ::-1])
+        # for patch-aligned padded widths (4-blocks hold equal values).
+        disp_r_patch = disp_rev[:, ::-1]
     elif cfg.lr_check:
         # 'direct': match right->left with +d targets — descriptors are
         # shared between the two directions, and no global flip is
@@ -203,10 +257,10 @@ def match_padded_core(left_p: jnp.ndarray, right_p: jnp.ndarray,
             desc_l_p, desc_r_s, cfg, geom, impl)
         disp_rev, _ = match_from_descriptors(
             desc_r_p, desc_l_s, cfg, geom, impl, reverse=True)
-        disp_r_full = densify(disp_rev, cfg.patch_size)
+        disp_r_patch = disp_rev
     else:
         disp_fwd, score = one_direction(left_p, right_p, cfg, geom, impl)
-        disp_r_full = None
+        disp_r_patch = None
 
     disp_px = densify(disp_fwd, cfg.patch_size)
     score_px = densify(score, cfg.patch_size)
@@ -214,9 +268,11 @@ def match_padded_core(left_p: jnp.ndarray, right_p: jnp.ndarray,
     valid = jnp.ones(disp_px.shape, dtype=bool)
     disp_r_px = jnp.zeros(disp_px.shape, dtype=jnp.int32)
     if cfg.lr_check:
-        disp_r_px = disp_r_full
-        valid &= lr_consistency(disp_px, disp_r_px, cfg.tau,
-                                geom.disparities)
+        disp_r_px = densify(disp_r_patch, cfg.patch_size)
+        with jax.named_scope("lr_check"):
+            valid &= lr_consistency_patch(disp_fwd, disp_r_patch,
+                                          cfg.tau, geom.disparities,
+                                          cfg.patch_size)
     if cfg.min_score > 0.0:
         valid &= score_px >= cfg.min_score
 

@@ -146,29 +146,29 @@ def match_batch_dslab(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
             b = lp.shape[0]
             disp_fwd, disp_rev = disp[:b], disp[b:]
             score = score[:b]
-            disp_r = jax.vmap(
-                lambda x: pipeline.densify(x, p))(disp_rev)[:, :, ::-1]
+            disp_r_patch = disp_rev[:, :, ::-1]  # patch-level flip
         elif cfg.lr_check:  # 'direct'
             disp_fwd, score = _dslab_direction(lp, rp, cfg, local,
                                                n_slab, reverse=False)
             disp_rev, _ = _dslab_direction(rp, lp, cfg, local,
                                            n_slab, reverse=True)
-            disp_r = jax.vmap(lambda x: pipeline.densify(x, p))(disp_rev)
+            disp_r_patch = disp_rev
         else:
             disp_fwd, score = _dslab_direction(lp, rp, cfg, local,
                                                n_slab, reverse=False)
-            disp_r = None
+            disp_r_patch = None
 
         disp_px = jax.vmap(lambda x: pipeline.densify(x, p))(disp_fwd)
         score_px = jax.vmap(lambda x: pipeline.densify(x, p))(score)
         valid = jnp.ones(disp_px.shape, dtype=bool)
         disp_r_px = jnp.zeros(disp_px.shape, dtype=jnp.int32)
         if cfg.lr_check:
-            disp_r_px = disp_r
+            disp_r_px = jax.vmap(
+                lambda x: pipeline.densify(x, p))(disp_r_patch)
             valid &= jax.vmap(
-                lambda a, b_: pipeline.lr_consistency(
-                    a, b_, cfg.tau, local.disparities)
-            )(disp_px, disp_r_px)
+                lambda a, b_: pipeline.lr_consistency_patch(
+                    a, b_, cfg.tau, local.disparities, p)
+            )(disp_fwd, disp_r_patch)
         if cfg.min_score > 0.0:
             valid &= score_px >= cfg.min_score
         out = jnp.where(valid, disp_px.astype(jnp.float32),

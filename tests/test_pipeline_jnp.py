@@ -154,3 +154,38 @@ class TestEndToEnd:
         left, right, gt = make_block_pair(96, 128, max_disparity=24, seed=19)
         res = match_stereo(left, right, cfg)
         assert bad_pixel_rate(res.disparity, gt, count_invalid=False) < 0.02
+
+
+class TestLRConsistencyPatch:
+    """Patch-level LR check == pixel-level check on densified maps."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("d0,tau", [(16, 1.0), (32, 0.0), (8, 2.0)])
+    def test_matches_pixel_formulation(self, seed, d0, tau):
+        rng = np.random.default_rng(seed)
+        h0, w0, p = 7, 19, 4
+        dl = rng.integers(0, d0, size=(h0, w0)).astype(np.int32)
+        dr = rng.integers(0, d0, size=(h0, w0)).astype(np.int32)
+        dl_px = np.repeat(np.repeat(dl, p, 0), p, 1)
+        dr_px = np.repeat(np.repeat(dr, p, 0), p, 1)
+        want = np.asarray(jax.jit(
+            lambda a, b: pipeline.lr_consistency(a, b, tau, d0)
+        )(jnp.asarray(dl_px), jnp.asarray(dr_px)))
+        got = np.asarray(jax.jit(
+            lambda a, b: pipeline.lr_consistency_patch(a, b, tau, d0, p)
+        )(jnp.asarray(dl), jnp.asarray(dr)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_boundary_disparities(self):
+        """dL values at the extremes: 0 and D0-1 everywhere."""
+        h0, w0, p, d0 = 3, 9, 4, 16
+        for val in (0, d0 - 1):
+            dl = np.full((h0, w0), val, dtype=np.int32)
+            dr = np.full((h0, w0), val, dtype=np.int32)
+            dl_px = np.repeat(np.repeat(dl, p, 0), p, 1)
+            dr_px = np.repeat(np.repeat(dr, p, 0), p, 1)
+            want = np.asarray(pipeline.lr_consistency(
+                jnp.asarray(dl_px), jnp.asarray(dr_px), 1.0, d0))
+            got = np.asarray(pipeline.lr_consistency_patch(
+                jnp.asarray(dl), jnp.asarray(dr), 1.0, d0, p))
+            np.testing.assert_array_equal(got, want)
