@@ -112,22 +112,32 @@ def tpu_mpxs(pairs):
     rs = jax.device_put(jnp.asarray(rp))
     t0 = time.perf_counter()
     out = step(ls, rs)
-    jax.block_until_ready(out)
+    np.asarray(out["disparity"][0, 0, 0])
     log(f"compile+first run: {time.perf_counter() - t0:.1f} s")
 
-    # Steady-state streaming throughput: enqueue all steps (JAX async
-    # dispatch overlaps the ~26 ms relay dispatch latency with device
-    # compute), block once.  This is the continuous-serving pattern the
-    # per-chip Mpx/s metric describes; single-step latency is logged too.
-    t0 = time.perf_counter()
-    jax.block_until_ready(step(ls, rs))
-    lat = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready([step(ls, rs) for _ in range(ITERS)])
-    t = (time.perf_counter() - t0) / ITERS
+    # Steady-state streaming throughput.  On the axon relay backend,
+    # jax.block_until_ready does NOT wait for device completion, so
+    # timing must force completion by FETCHING a scalar that depends on
+    # the last of N enqueued steps (the TPU runs enqueued programs in
+    # order).  The constant relay round-trip (~30 ms) is removed by
+    # differencing two N values (slope method).
+    @jax.jit
+    def probe(o):
+        return o["disparity"][0, 0, 0]
+
+    float(probe(step(ls, rs)))
+    times = []
+    for n in (ITERS // 2, ITERS * 2):
+        t0 = time.perf_counter()
+        outs = [step(ls, rs) for _ in range(n)]
+        float(probe(outs[-1]))
+        times.append((n, time.perf_counter() - t0))
+    (n1, t1), (n2, t2) = times
+    t = (t2 - t1) / (n2 - n1)
+    lat = t1 / n1
     v = BATCH * H * W * 1e-6 / t
-    log(f"device step: {t * 1e3:.2f} ms streaming / {lat * 1e3:.2f} ms "
-        f"single-step latency for {BATCH} pairs")
+    log(f"device step: {t * 1e3:.2f} ms steady-state / {lat * 1e3:.2f} ms "
+        f"incl. relay round-trip, for {BATCH} pairs")
 
     # Quality cross-check on the bench scene (kept-pixel bad rate).
     from deepmatching_stereo_matching_tpu.utils import metrics

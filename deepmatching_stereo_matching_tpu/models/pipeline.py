@@ -28,6 +28,7 @@ from ..ops import costvol as costvol_ops
 from ..ops import costvol_pallas
 from ..ops import pool as pool_ops
 from ..ops import postfilter as postfilter_ops
+from ..ops import pyramid_pallas
 from ..ops._dispatch import implementation
 from . import descriptors
 
@@ -99,8 +100,6 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
     tile-local pipeline (which passes halo-extended target descriptors
     via `origin_offset`, SURVEY.md §5.7).
     """
-    cv = costvol_pallas.cost_volume if impl == "pallas" \
-        else costvol_ops.cost_volume
     if cfg.dtype != "float32":
         # bf16 mode (SURVEY.md §7 hard part 5): descriptors are built
         # and normalised in f32, then the cost volume and pyramid run in
@@ -111,10 +110,23 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
         dt = jnp.dtype(cfg.dtype)
         desc_src = desc_src.astype(dt)
         desc_tgt = desc_tgt.astype(dt)
+    if impl == "pallas":
+        # Fused fast path: D-major cost volume feeds the single fused
+        # pyramid+backtracking kernel; no (H0, W0, D) volume, level
+        # maps, or argmax offsets ever round-trip HBM.
+        with jax.named_scope("costvol"):
+            cost_dm = costvol_pallas.cost_volume_dmajor(
+                desc_src, desc_tgt, geom.disparities, cfg.patch_size,
+                cfg.max_disparity, reverse=reverse,
+                origin_offset=origin_offset)
+        with jax.named_scope("pyramid_backtrack"):
+            return pyramid_pallas.pyramid_backtrack(
+                cost_dm, geom.levels, cfg.lam)
     with jax.named_scope("costvol"):
-        cost0 = cv(desc_src, desc_tgt, geom.disparities, cfg.patch_size,
-                   cfg.max_disparity, reverse=reverse,
-                   origin_offset=origin_offset)
+        cost0 = costvol_ops.cost_volume(
+            desc_src, desc_tgt, geom.disparities, cfg.patch_size,
+            cfg.max_disparity, reverse=reverse,
+            origin_offset=origin_offset)
     with jax.named_scope("pyramid"):
         maps, args = build_pyramid(cost0, geom.levels, cfg.lam)
     with jax.named_scope("backtrack"):

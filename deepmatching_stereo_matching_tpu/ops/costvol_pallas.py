@@ -83,18 +83,83 @@ def _kernel(s_ref, rq_ref, out_ref, *, disparities: int, patch_size: int,
         out_ref[0, d, :] = jnp.maximum(corr, 0.0).astype(dt)
 
 
+def _kernel_dmajor(s_ref, rq_ref, out_ref, *, disparities: int,
+                   patch_size: int, max_disparity: int, origin_offset: int,
+                   reverse: bool):
+    """Row-block variant storing (D, rb, W0) planes (D-major layout).
+
+    Processes `rb` patch rows per grid step (rb is a sublane multiple, so
+    the output block satisfies Mosaic's (8, 128) tiling) and vectorises
+    the correlation over rows as well as columns.
+    """
+    s_blk = s_ref[...]          # (rb, C, W0)
+    rb, c_dim, w0 = s_blk.shape
+    wr = rq_ref.shape[-1]
+    dt = out_ref.dtype
+    for d in range(disparities):
+        if d >= max_disparity:
+            out_ref[d] = jnp.zeros((rb, w0), dtype=dt)
+            continue
+        phase, st = _phase_and_start(d, patch_size, origin_offset, reverse)
+        lpad = max(0, -st)
+        rpad = max(0, st + w0 - wr)
+        if lpad + rpad >= w0:
+            out_ref[d] = jnp.zeros((rb, w0), dtype=dt)
+            continue
+        core = rq_ref[:, phase][:, :, max(0, st): min(wr, st + w0)]
+        parts = []
+        if lpad:
+            parts.append(jnp.zeros((rb, c_dim, lpad), dtype=dt))
+        parts.append(core)
+        if rpad:
+            parts.append(jnp.zeros((rb, c_dim, rpad), dtype=dt))
+        shifted = jnp.concatenate(parts, axis=2) if len(parts) > 1 else core
+        corr = jnp.sum(s_blk * shifted, axis=1, dtype=jnp.float32)
+        out_ref[d] = jnp.maximum(corr, 0.0).astype(dt)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("disparities", "patch_size",
                                     "max_disparity", "origin_offset",
-                                    "reverse", "interpret"))
+                                    "reverse", "interpret", "dmajor"))
 def _cost_volume_rows(desc_s_t: jnp.ndarray, rq: jnp.ndarray,
                       disparities: int, patch_size: int, max_disparity: int,
                       origin_offset: int, reverse: bool,
-                      interpret: bool) -> jnp.ndarray:
-    """(H0, C, W0), (H0, p, C, Wr) -> (H0, D, W0)."""
+                      interpret: bool, dmajor: bool = False) -> jnp.ndarray:
+    """(H0, C, W0), (H0, p, C, Wr) -> (H0, D, W0), or (D, H0, W0) D-major."""
     h0, c, w0 = desc_s_t.shape
     p = patch_size
     wr = rq.shape[-1]
+    cost = pl.CostEstimate(
+        flops=2 * h0 * w0 * max_disparity * c,
+        bytes_accessed=4 * h0 * (w0 * (c + disparities) + p * c * wr),
+        transcendentals=0,
+    )
+    if dmajor:
+        # Row-blocked grid; rb must be a sublane multiple (or all of h0)
+        # for the (D, rb, W0) output block to tile.
+        rb = 8 if h0 % 8 == 0 else h0
+        kernel = functools.partial(
+            _kernel_dmajor, disparities=disparities, patch_size=patch_size,
+            max_disparity=max_disparity, origin_offset=origin_offset,
+            reverse=reverse)
+        return pl.pallas_call(
+            kernel,
+            grid=(h0 // rb,),
+            in_specs=[
+                pl.BlockSpec((rb, c, w0), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rb, p, c, wr), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((disparities, rb, w0),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((disparities, h0, w0),
+                                           desc_s_t.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(desc_s_t, rq)
     kernel = functools.partial(
         _kernel, disparities=disparities, patch_size=patch_size,
         max_disparity=max_disparity, origin_offset=origin_offset,
@@ -112,11 +177,7 @@ def _cost_volume_rows(desc_s_t: jnp.ndarray, rq: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h0, disparities, w0),
                                        desc_s_t.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * h0 * w0 * max_disparity * c,
-            bytes_accessed=4 * h0 * (w0 * (c + disparities) + p * c * wr),
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(desc_s_t, rq)
 
@@ -143,3 +204,26 @@ def cost_volume(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
     out = _cost_volume_rows(desc_s_t, rq, disparities, p, max_disparity,
                             origin_offset, reverse, use_interpret())
     return jnp.transpose(out, (0, 2, 1))                       # (H0, W0, D)
+
+
+def cost_volume_dmajor(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
+                       disparities: int, patch_size: int, max_disparity: int,
+                       reverse: bool = False, origin_offset: int = 0
+                       ) -> jnp.ndarray:
+    """Like `cost_volume` but emits the (D, H0, W0) D-major layout.
+
+    This is the layout ops/pyramid_pallas.py consumes: the kernel stores
+    each disparity's row directly into its (H0, W0) plane, so neither
+    side pays the (H0, W0, D) <-> (D, H0, W0) relayout of the whole
+    volume in HBM.
+    """
+    h0, w0, c = desc_src.shape
+    wt = desc_tgt.shape[1]
+    p = patch_size
+    if wt % p:
+        raise ValueError(f"target descriptor width {wt} not divisible by {p}")
+    desc_s_t = jnp.transpose(desc_src, (0, 2, 1))              # (H0, C, W0)
+    rq = desc_tgt.reshape(h0, wt // p, p, c).transpose(0, 2, 3, 1)
+    return _cost_volume_rows(desc_s_t, rq, disparities, p, max_disparity,
+                             origin_offset, reverse, use_interpret(),
+                             dmajor=True)

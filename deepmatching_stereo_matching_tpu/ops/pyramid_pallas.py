@@ -1,0 +1,200 @@
+"""Fused Pallas pyramid + backtracking kernel (C5-C10) — hot loops #2/#3.
+
+The reference runs the aggregation pyramid as per-level NumPy passes and
+backtracking as Python recursion (SURVEY.md §3.3/§3.4); the jnp port of
+that structure is correct but HBM-hostile on TPU: with the disparity
+axis minor, every 3-wide disparity pool and x2 subsample is a strided
+*lane* slice (vector-register shuffles), and each level round-trips the
+full map through HBM.  Measured, the pyramid was ~75% of the whole
+pipeline's device time.
+
+This kernel processes one quadtree-aligned spatial block per grid step
+with the cost volume in **D-major** layout (D, h, w) and a
+*duplicated-cell* representation of the coarse levels:
+
+  * disparity pool + x2 subsample: a leading-axis (D/2, 2, h, w)
+    reshape — free, the minor (h, w) register tile is untouched;
+  * spatial x2 subsample is never materialised: a level-l cell's value
+    is stored duplicated across its 2**l x 2**l pixel block, so the
+    quadtree 4-child merge is two concat-shifts + a parity-mask select
+    along each minor axis (exact two-term sums in the oracle's
+    ((q00+q01)+(q10+q11)) order, no lane deinterleave, no gather);
+  * top-down backtracking (dense argmax propagation, SURVEY.md §3.4)
+    then needs NO upsampling — every level's pool-argmax offsets are
+    already full-resolution — and runs in the same kernel instance on
+    the VMEM-resident pyramid.  Maps/args never touch HBM.
+
+The duplicated representation does ~1.5x the elementwise work of a
+shrinking pyramid but keeps every operation a supported, relayout-free
+Mosaic vector op; the kernel is HBM-bound on the cost-volume read.
+
+Numerics are bit-identical to ops/pool.py + models/pipeline.py:backtrack
+(same -1.0 pool pad, same lo/even/odd tie order, same
+((q00+q01)+(q10+q11))*0.25 summation order, first-max argmax, f32 score
+cast) — asserted in tests/test_pyramid_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._dispatch import use_interpret
+
+# VMEM budget for the cost-volume block; pooled maps, recorded argmax
+# offsets, and transients add ~2x on top.
+_BLOCK_BYTES = 2 * 1024 * 1024
+
+
+def _shift_up(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
+    """y[i] = x[i + s] along axis (wrap values are never selected)."""
+    lo = jax.lax.slice_in_dim(x, s, x.shape[axis], 1, axis)
+    hi = jax.lax.slice_in_dim(x, 0, s, 1, axis)
+    return jax.lax.concatenate([lo, hi], axis)
+
+
+def _shift_down(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
+    """y[i] = x[i - s] along axis (wrap values are never selected)."""
+    lo = jax.lax.slice_in_dim(x, x.shape[axis] - s, x.shape[axis], 1, axis)
+    hi = jax.lax.slice_in_dim(x, 0, x.shape[axis] - s, 1, axis)
+    return jax.lax.concatenate([lo, hi], axis)
+
+
+def _pair_sum(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
+    """Duplicated-cell sibling sum along one spatial axis.
+
+    x holds level values duplicated over size-s cells along `axis`; the
+    result holds (left_child + right_child) duplicated over the size-2s
+    parent cell, summed in left+right order everywhere (exact: two-term
+    f32 addition is commutative and the shifts are value-exact).
+    """
+    left = jnp.equal(
+        jax.lax.div(
+            jax.lax.broadcasted_iota(jnp.int32, x.shape, axis),
+            jnp.int32(s)) % 2,
+        0)
+    sib_r = _shift_up(x, s, axis)      # right sibling, valid on left cells
+    sib_l = _shift_down(x, s, axis)    # left sibling, valid on right cells
+    return jnp.where(left, x + sib_r, sib_l + x)
+
+
+def _kernel(cost_ref, disp_ref, score_ref, *, levels: int, lam: float):
+    cost0 = cost_ref[...]                               # (D, bh, wb)
+    dt = cost0.dtype
+    d0, bh, wb = cost0.shape
+
+    # Bottom-up aggregation (C5-C7), all levels VMEM-resident, spatial
+    # values duplicated over 2**lvl cells.
+    args = []
+    cur = cost0
+    for lvl in range(levels):
+        d_l = cur.shape[0]
+        half = cur.reshape(d_l // 2, 2, bh, wb)
+        even = half[:, 0]                               # d = 2k
+        odd = half[:, 1]                                # d = 2k+1
+        neg = jnp.full_like(odd[:1], -1.0)
+        if d_l == 2:   # single pool window; avoid a zero-size slice
+            lo = neg
+        else:
+            lo = jnp.concatenate([neg, odd[:-1]], axis=0)   # d = 2k-1
+        pooled = jnp.maximum(jnp.maximum(lo, even), odd)
+        # Same tie order as ops/pool.py: lo, then even, then odd.
+        arg = jnp.where(pooled == lo, jnp.int32(-1),
+                        jnp.where(pooled == even, jnp.int32(0),
+                                  jnp.int32(1)))
+        args.append(arg)
+        # Quadtree merge in ((q00+q01)+(q10+q11))*0.25 order: w-pairs
+        # first, then h-pairs, on duplicated cells of size 2**lvl.
+        s = 2 ** lvl
+        b = _pair_sum(pooled, s, axis=2)
+        m = _pair_sum(b, s, axis=1)
+        cur = jnp.power(m * jnp.asarray(0.25, dt), jnp.asarray(lam, dt))
+
+    # Top-level argmax, first-max (smallest d) tie rule; cur is the top
+    # map, duplicated over 2**levels cells, so k is born full-res.
+    best = cur[0]
+    k = jnp.zeros(best.shape, jnp.int32)
+    for d in range(1, cur.shape[0]):
+        better = cur[d] > best
+        best = jnp.where(better, cur[d], best)
+        k = jnp.where(better, jnp.int32(d), k)
+
+    # Top-down propagation (C10): k_child = 2*k + recorded pool offset.
+    for lvl in range(levels - 1, -1, -1):
+        arg = args[lvl]                                 # (D_l/2, bh, wb)
+        off = jnp.zeros_like(k)
+        for dd in range(arg.shape[0]):
+            off = jnp.where(k == dd, arg[dd], off)
+        k = 2 * k + off
+
+    sc = jnp.zeros(k.shape, jnp.float32)
+    for dd in range(d0):
+        sc = jnp.where(k == dd, cost0[dd].astype(jnp.float32), sc)
+
+    disp_ref[...] = k
+    score_ref[...] = sc
+
+
+def _pick_blocks(h0: int, w0: int, d: int, unit: int, itemsize: int):
+    """(bh, wb) — quadtree-aligned blocks obeying Mosaic (8, 128) tiling.
+
+    A split block's dims must be multiples of (8, 128) respectively
+    (full-array dims are exempt); both must stay multiples of the
+    quadtree unit 2**levels so the pyramid merge never crosses blocks.
+    """
+    unit_h = unit * 8 // math.gcd(unit, 8)      # lcm(2**levels, 8)
+    bh = unit_h if (h0 % unit_h == 0 and unit_h < h0) else h0
+    unit_w = unit * 128 // math.gcd(unit, 128)  # lcm(2**levels, 128)
+    wb = w0
+    while wb > unit_w:
+        half = wb // 2
+        if (d * bh * wb * itemsize <= _BLOCK_BYTES
+                or w0 % half or half % unit_w):
+            break
+        wb = half
+    return bh, wb
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "lam", "interpret"))
+def _pyramid_backtrack(cost_dm: jnp.ndarray, levels: int, lam: float,
+                       interpret: bool):
+    d, h0, w0 = cost_dm.shape
+    unit = 2 ** levels
+    if h0 % unit or w0 % unit or d % unit:
+        raise ValueError(
+            f"cost volume {cost_dm.shape} not aligned to 2**levels={unit}")
+    bh, wb = _pick_blocks(h0, w0, d, unit, cost_dm.dtype.itemsize)
+    kernel = functools.partial(_kernel, levels=levels, lam=lam)
+    out_spec = pl.BlockSpec((bh, wb), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(h0 // bh, w0 // wb),
+        in_specs=[pl.BlockSpec((d, bh, wb), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((h0, w0), jnp.int32),
+                   jax.ShapeDtypeStruct((h0, w0), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            # ~6 elementwise passes over the volume per level at
+            # duplicated resolution, geometric in D only.
+            flops=12 * d * h0 * w0,
+            bytes_accessed=cost_dm.dtype.itemsize * d * h0 * w0 + 8 * h0 * w0,
+            transcendentals=2 * d * h0 * w0,
+        ),
+        interpret=interpret,
+    )(cost_dm)
+
+
+def pyramid_backtrack(cost_dm: jnp.ndarray, levels: int, lam: float):
+    """D-major cost volume (D, H0, W0) -> (disp_patch i32, score f32).
+
+    Fused drop-in for models/pipeline.py:build_pyramid + backtrack (which
+    take the (H0, W0, D) layout); bit-identical results.
+    """
+    return _pyramid_backtrack(cost_dm, levels, lam, use_interpret())
