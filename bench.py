@@ -97,7 +97,7 @@ def tpu_mpxs(pairs):
     rp = np.stack([oracle.pad_image(oracle.to_grayscale_f32(r), geom)
                    for _, r, _ in pairs])
 
-    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    impl = "fused" if jax.default_backend() == "tpu" else "jnp"
 
     @functools.partial(jax.jit, static_argnames=())
     def step(ls, rs):

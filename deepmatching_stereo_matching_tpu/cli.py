@@ -40,8 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy golden oracle instead of the "
                         "device pipeline")
-    p.add_argument("--impl", choices=("pallas", "jnp"), default=None,
-                   help="cost-volume implementation (default: pallas on "
+    p.add_argument("--impl", choices=("fused", "pallas", "jnp"), default=None,
+                   help="matching implementation (default: fused on "
                         "TPU, jnp elsewhere)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
@@ -142,7 +142,7 @@ def main(argv=None) -> int:
         if impl is None:
             import jax
 
-            impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+            impl = "fused" if jax.default_backend() == "tpu" else "jnp"
         with set_implementation(impl):
             run_meta["impl"] = impl
             return api.match_stereo(left, right, cfg)

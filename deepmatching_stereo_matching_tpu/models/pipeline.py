@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import Config, Geometry
 from ..ops import costvol as costvol_ops
 from ..ops import costvol_pallas
+from ..ops import fused_pallas
 from ..ops import pool as pool_ops
 from ..ops import postfilter as postfilter_ops
 from ..ops import pyramid_pallas
@@ -100,6 +101,10 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
     tile-local pipeline (which passes halo-extended target descriptors
     via `origin_offset`, SURVEY.md §5.7).
     """
+    if impl == "fused":
+        # Descriptor-level callers can't use the image->disparity fused
+        # kernel; use the exact two-kernel path.
+        impl = "pallas"
     if cfg.dtype != "float32":
         # bf16 mode (SURVEY.md §7 hard part 5): descriptors are built
         # and normalised in f32, then the cost volume and pyramid run in
@@ -136,7 +141,16 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
 def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
                   geom: Geometry, impl: str = "pallas",
                   reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(Hp, Wp) padded pair -> (disp_patch, score), both (H0, W0)."""
+    """(Hp, Wp) padded pair -> (disp_patch, score), both (H0, W0).
+
+    impl: 'fused' (single image->disparity kernel, ~1e-6-tolerance
+    scores, fastest), 'pallas' (exact two-kernel path), or 'jnp'.
+    'fused' silently falls back to 'pallas' for configurations the
+    fused kernel doesn't cover (ops/fused_pallas.py:supported).
+    """
+    if impl == "fused" and not reverse and fused_pallas.supported(cfg, geom):
+        with jax.named_scope("fused_match"):
+            return fused_pallas.match_rows(left, right, cfg, geom)
     with jax.named_scope("descriptors"):
         desc_src = descriptors.left_descriptors(left, cfg)
         desc_tgt = descriptors.right_sliding_descriptors(right, cfg)

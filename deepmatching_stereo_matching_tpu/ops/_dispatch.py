@@ -23,13 +23,18 @@ def use_interpret() -> bool:
 
 
 def implementation() -> str:
-    """Current cost-path implementation: 'pallas' (default) or 'jnp'."""
-    return getattr(_state, "impl", "pallas")
+    """Current implementation: 'fused' (default), 'pallas', or 'jnp'.
+
+    'fused' runs the single image->disparity kernel where supported
+    (ops/fused_pallas.py) and falls back to the exact two-kernel
+    'pallas' path otherwise.
+    """
+    return getattr(_state, "impl", "fused")
 
 
 @contextlib.contextmanager
 def set_implementation(impl: str):
-    if impl not in ("pallas", "jnp"):
+    if impl not in ("fused", "pallas", "jnp"):
         raise ValueError(f"unknown implementation {impl!r}")
     prev = implementation()
     _state.impl = impl

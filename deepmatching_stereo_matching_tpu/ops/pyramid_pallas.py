@@ -83,8 +83,11 @@ def _pair_sum(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
     return jnp.where(left, x + sib_r, sib_l + x)
 
 
-def _kernel(cost_ref, disp_ref, score_ref, *, levels: int, lam: float):
-    cost0 = cost_ref[...]                               # (D, bh, wb)
+def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float):
+    """Bottom-up aggregation + dense backtracking on a VMEM-resident
+    (D, bh, wb) cost block; shared by this kernel and the fully fused
+    image->disparity kernel (ops/fused_pallas.py).  Returns
+    (disp int32 (bh, wb), score float32 (bh, wb))."""
     dt = cost0.dtype
     d0, bh, wb = cost0.shape
 
@@ -135,7 +138,11 @@ def _kernel(cost_ref, disp_ref, score_ref, *, levels: int, lam: float):
     sc = jnp.zeros(k.shape, jnp.float32)
     for dd in range(d0):
         sc = jnp.where(k == dd, cost0[dd].astype(jnp.float32), sc)
+    return k, sc
 
+
+def _kernel(cost_ref, disp_ref, score_ref, *, levels: int, lam: float):
+    k, sc = pyramid_body(cost_ref[...], levels, lam)
     disp_ref[...] = k
     score_ref[...] = sc
 
