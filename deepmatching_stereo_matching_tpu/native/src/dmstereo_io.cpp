@@ -1,0 +1,462 @@
+// Native host-IO runtime for the TPU stereo engine.
+//
+// The reference (SURVEY.md §1 L0, [K-high]) does host-side image IO in
+// Python (cv2/PIL) — its ancestral C implementation (SURVEY.md §0,
+// Revaud's deepmatching 1.2.2) did this layer in C.  This module is the
+// framework's native equivalent: the parts of the pipeline OUTSIDE the
+// XLA program (decode, grayscale+normalize+pad prologue, encode, and a
+// threaded prefetching pair-loader that overlaps host decode with TPU
+// compute) implemented in C++ and exposed through a plain C ABI for
+// ctypes (no pybind11 in this environment).
+//
+// Codecs:
+//   * PGM/PPM (P5/P6, 8- and 16-bit)      read + write
+//   * PFM (Middlebury float, grayscale)   read + write
+//   * PNG (gray 8/16-bit, RGB 8-bit)      write, via zlib (stored in the
+//     repo toolchain; CRC32 + deflate from libz, filter type 0)
+//
+// Error handling: every entry point returns 0 on success / negative on
+// failure and records a message retrievable via dms_last_error() (thread
+// local, so the loader workers don't race on it).
+
+#include <atomic>
+#include <cerrno>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+#define DMS_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+thread_local std::string g_error;
+
+int fail(const std::string& msg) {
+  g_error = msg;
+  return -1;
+}
+
+struct File {
+  FILE* f = nullptr;
+  explicit File(const char* path, const char* mode)
+      : f(std::fopen(path, mode)) {}
+  ~File() {
+    if (f) std::fclose(f);
+  }
+  explicit operator bool() const { return f != nullptr; }
+};
+
+// ---------------------------------------------------------------------
+// PNM (PGM P5 / PPM P6)
+// ---------------------------------------------------------------------
+
+// Read one whitespace/comment-delimited ASCII token from a PNM header.
+bool pnm_token(FILE* f, std::string* tok) {
+  tok->clear();
+  int c;
+  for (;;) {
+    c = std::fgetc(f);
+    if (c == EOF) return false;
+    if (c == '#') {  // comment to end of line
+      while (c != EOF && c != '\n') c = std::fgetc(f);
+      continue;
+    }
+    if (!std::isspace(c)) break;
+  }
+  for (; c != EOF && !std::isspace(c); c = std::fgetc(f)) {
+    tok->push_back(static_cast<char>(c));
+  }
+  return !tok->empty();
+}
+
+}  // namespace
+
+DMS_API const char* dms_last_error() { return g_error.c_str(); }
+
+DMS_API void dms_free(void* p) { std::free(p); }
+
+// Decode P5/P6. *data is malloc'd (u8, or u16 native-endian when
+// *maxval > 255); layout (h, w, channels) row-major. Caller frees.
+DMS_API int dms_read_pnm(const char* path, void** data, int* w, int* h,
+                         int* channels, int* maxval) {
+  File file(path, "rb");
+  if (!file) return fail(std::string("open failed: ") + path);
+  std::string tok;
+  if (!pnm_token(file.f, &tok)) return fail("truncated PNM header");
+  int ch;
+  if (tok == "P5") {
+    ch = 1;
+  } else if (tok == "P6") {
+    ch = 3;
+  } else {
+    return fail("unsupported PNM magic '" + tok + "'");
+  }
+  long vals[3];
+  for (int i = 0; i < 3; ++i) {
+    if (!pnm_token(file.f, &tok)) return fail("truncated PNM header");
+    vals[i] = std::strtol(tok.c_str(), nullptr, 10);
+    if (vals[i] <= 0) return fail("bad PNM header value '" + tok + "'");
+  }
+  const long W = vals[0], H = vals[1], MAXV = vals[2];
+  if (MAXV > 65535) return fail("PNM maxval > 65535");
+  const int bytes_per = MAXV > 255 ? 2 : 1;
+  const size_t count = static_cast<size_t>(W) * H * ch;
+  void* buf = std::malloc(count * bytes_per);
+  if (!buf) return fail("out of memory");
+  if (std::fread(buf, bytes_per, count, file.f) != count) {
+    std::free(buf);
+    return fail("truncated PNM pixel data");
+  }
+  if (bytes_per == 2) {  // PNM 16-bit is big-endian on disk
+    auto* p = static_cast<uint16_t*>(buf);
+    for (size_t i = 0; i < count; ++i) {
+      p[i] = static_cast<uint16_t>((p[i] >> 8) | (p[i] << 8));
+    }
+  }
+  *data = buf;
+  *w = static_cast<int>(W);
+  *h = static_cast<int>(H);
+  *channels = ch;
+  *maxval = static_cast<int>(MAXV);
+  return 0;
+}
+
+DMS_API int dms_write_pnm(const char* path, const void* data, int w, int h,
+                          int channels, int maxval) {
+  if (channels != 1 && channels != 3) return fail("channels must be 1 or 3");
+  File file(path, "wb");
+  if (!file) return fail(std::string("open failed: ") + path);
+  std::fprintf(file.f, "%s\n%d %d\n%d\n", channels == 1 ? "P5" : "P6", w, h,
+               maxval);
+  const size_t count = static_cast<size_t>(w) * h * channels;
+  if (maxval > 255) {
+    std::vector<uint16_t> be(count);
+    const auto* src = static_cast<const uint16_t*>(data);
+    for (size_t i = 0; i < count; ++i) {
+      be[i] = static_cast<uint16_t>((src[i] >> 8) | (src[i] << 8));
+    }
+    if (std::fwrite(be.data(), 2, count, file.f) != count) {
+      return fail("short write");
+    }
+  } else if (std::fwrite(data, 1, count, file.f) != count) {
+    return fail("short write");
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// PFM (Middlebury float map; negative scale = little-endian)
+// ---------------------------------------------------------------------
+
+DMS_API int dms_read_pfm(const char* path, float** data, int* w, int* h) {
+  File file(path, "rb");
+  if (!file) return fail(std::string("open failed: ") + path);
+  std::string tok;
+  if (!pnm_token(file.f, &tok) || tok != "Pf") {
+    return fail("not a grayscale PFM (magic 'Pf')");
+  }
+  std::string ws, hs, ss;
+  if (!pnm_token(file.f, &ws) || !pnm_token(file.f, &hs) ||
+      !pnm_token(file.f, &ss)) {
+    return fail("truncated PFM header");
+  }
+  const long W = std::strtol(ws.c_str(), nullptr, 10);
+  const long H = std::strtol(hs.c_str(), nullptr, 10);
+  const double scale = std::strtod(ss.c_str(), nullptr);
+  if (W <= 0 || H <= 0) return fail("bad PFM dimensions");
+  const size_t count = static_cast<size_t>(W) * H;
+  auto* buf = static_cast<float*>(std::malloc(count * sizeof(float)));
+  if (!buf) return fail("out of memory");
+  // PFM rows are stored bottom-up; return top-down.
+  for (long r = 0; r < H; ++r) {
+    float* row = buf + (H - 1 - r) * W;
+    if (std::fread(row, sizeof(float), W, file.f) !=
+        static_cast<size_t>(W)) {
+      std::free(buf);
+      return fail("truncated PFM pixel data");
+    }
+  }
+  if (scale > 0) {  // big-endian on disk
+    auto* p = reinterpret_cast<uint32_t*>(buf);
+    for (size_t i = 0; i < count; ++i) p[i] = __builtin_bswap32(p[i]);
+  }
+  *data = buf;
+  *w = static_cast<int>(W);
+  *h = static_cast<int>(H);
+  return 0;
+}
+
+DMS_API int dms_write_pfm(const char* path, const float* data, int w,
+                          int h) {
+  File file(path, "wb");
+  if (!file) return fail(std::string("open failed: ") + path);
+  std::fprintf(file.f, "Pf\n%d %d\n-1.0\n", w, h);  // little-endian
+  for (int r = h - 1; r >= 0; --r) {                // bottom-up rows
+    if (std::fwrite(data + static_cast<size_t>(r) * w, sizeof(float), w,
+                    file.f) != static_cast<size_t>(w)) {
+      return fail("short write");
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// PNG writer (zlib deflate, filter 0). Gray 8/16-bit, RGB 8-bit.
+// ---------------------------------------------------------------------
+
+namespace {
+
+void png_chunk(FILE* f, const char type[4], const uint8_t* payload,
+               uint32_t len) {
+  uint8_t hdr[8] = {
+      static_cast<uint8_t>(len >> 24), static_cast<uint8_t>(len >> 16),
+      static_cast<uint8_t>(len >> 8),  static_cast<uint8_t>(len),
+      static_cast<uint8_t>(type[0]),   static_cast<uint8_t>(type[1]),
+      static_cast<uint8_t>(type[2]),   static_cast<uint8_t>(type[3])};
+  std::fwrite(hdr, 1, 8, f);
+  if (len) std::fwrite(payload, 1, len, f);
+  uLong crc = crc32(0L, hdr + 4, 4);
+  crc = crc32(crc, payload, len);
+  uint8_t tail[4] = {
+      static_cast<uint8_t>(crc >> 24), static_cast<uint8_t>(crc >> 16),
+      static_cast<uint8_t>(crc >> 8), static_cast<uint8_t>(crc)};
+  std::fwrite(tail, 1, 4, f);
+}
+
+}  // namespace
+
+// data: u8 (bitdepth 8) or native-endian u16 (bitdepth 16, gray only),
+// (h, w, channels) row-major.
+DMS_API int dms_write_png(const char* path, const void* data, int w, int h,
+                          int channels, int bitdepth) {
+  if ((channels != 1 && channels != 3) ||
+      (bitdepth != 8 && bitdepth != 16) || (bitdepth == 16 && channels != 1)) {
+    return fail("unsupported PNG layout (gray 8/16 or RGB 8 only)");
+  }
+  const size_t row_bytes = static_cast<size_t>(w) * channels * (bitdepth / 8);
+  // Filtered scanlines: one filter-type byte (0) per row.
+  std::vector<uint8_t> raw((row_bytes + 1) * h);
+  for (int r = 0; r < h; ++r) {
+    uint8_t* dst = raw.data() + static_cast<size_t>(r) * (row_bytes + 1);
+    *dst++ = 0;
+    if (bitdepth == 16) {  // PNG samples are big-endian
+      const auto* src = static_cast<const uint16_t*>(data) +
+                        static_cast<size_t>(r) * w;
+      for (int c = 0; c < w; ++c) {
+        dst[2 * c] = static_cast<uint8_t>(src[c] >> 8);
+        dst[2 * c + 1] = static_cast<uint8_t>(src[c]);
+      }
+    } else {
+      std::memcpy(dst,
+                  static_cast<const uint8_t*>(data) +
+                      static_cast<size_t>(r) * row_bytes,
+                  row_bytes);
+    }
+  }
+  uLongf zlen = compressBound(raw.size());
+  std::vector<uint8_t> z(zlen);
+  if (compress2(z.data(), &zlen, raw.data(), raw.size(), 6) != Z_OK) {
+    return fail("zlib compress2 failed");
+  }
+
+  File file(path, "wb");
+  if (!file) return fail(std::string("open failed: ") + path);
+  const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  std::fwrite(sig, 1, 8, file.f);
+  const uint8_t color_type = channels == 3 ? 2 : 0;
+  uint8_t ihdr[13] = {static_cast<uint8_t>(w >> 24),
+                      static_cast<uint8_t>(w >> 16),
+                      static_cast<uint8_t>(w >> 8),
+                      static_cast<uint8_t>(w),
+                      static_cast<uint8_t>(h >> 24),
+                      static_cast<uint8_t>(h >> 16),
+                      static_cast<uint8_t>(h >> 8),
+                      static_cast<uint8_t>(h),
+                      static_cast<uint8_t>(bitdepth),
+                      color_type,
+                      0,
+                      0,
+                      0};
+  png_chunk(file.f, "IHDR", ihdr, 13);
+  png_chunk(file.f, "IDAT", z.data(), static_cast<uint32_t>(zlen));
+  png_chunk(file.f, "IEND", nullptr, 0);
+  if (std::ferror(file.f)) return fail("short write");
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// Host prologue: grayscale + normalize + zero-pad, one pass.
+// Matches oracle/reference.py:to_grayscale_f32 + pad_image exactly:
+// BT.601 weights for RGB, /255 for integer inputs, zero pad
+// bottom/right to (ph, pw).  dst: caller-provided float32 (ph, pw).
+// ---------------------------------------------------------------------
+
+DMS_API int dms_gray_norm_pad(const void* src, int w, int h, int channels,
+                              int is_u16, int pw, int ph, float* dst) {
+  if (w > pw || h > ph) return fail("padded size smaller than image");
+  if (channels != 1 && channels != 3) return fail("channels must be 1 or 3");
+  // Oracle semantics: 8-bit range, true division (reciprocal-multiply
+  // is 1 ulp off numpy's `/ 255.0` and breaks bit-compat).
+  const float den = 255.0f;
+  for (int r = 0; r < ph; ++r) {
+    float* out = dst + static_cast<size_t>(r) * pw;
+    if (r >= h) {
+      std::memset(out, 0, sizeof(float) * pw);
+      continue;
+    }
+    if (channels == 1) {
+      if (is_u16) {
+        const auto* p = static_cast<const uint16_t*>(src) +
+                        static_cast<size_t>(r) * w;
+        for (int c = 0; c < w; ++c) out[c] = p[c] / den;
+      } else {
+        const auto* p = static_cast<const uint8_t*>(src) +
+                        static_cast<size_t>(r) * w;
+        for (int c = 0; c < w; ++c) out[c] = p[c] / den;
+      }
+    } else {
+      // Match numpy: float32(u8) @ [.299,.587,.114], then /255.
+      if (is_u16) {
+        const auto* p = static_cast<const uint16_t*>(src) +
+                        static_cast<size_t>(r) * w * 3;
+        for (int c = 0; c < w; ++c) {
+          const float g = 0.299f * p[3 * c] + 0.587f * p[3 * c + 1] +
+                          0.114f * p[3 * c + 2];
+          out[c] = g / den;
+        }
+      } else {
+        const auto* p = static_cast<const uint8_t*>(src) +
+                        static_cast<size_t>(r) * w * 3;
+        for (int c = 0; c < w; ++c) {
+          const float g = 0.299f * p[3 * c] + 0.587f * p[3 * c + 1] +
+                          0.114f * p[3 * c + 2];
+          out[c] = g / den;
+        }
+      }
+    }
+    for (int c = w; c < pw; ++c) out[c] = 0.0f;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// Threaded prefetch loader: decode + gray_norm_pad off the main thread,
+// results delivered in submission order (the TPU stream consumes batches
+// in order; SURVEY.md §5.3).  Each slot: one rectified PAIR -> two
+// padded float32 planes.
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct LoaderSlot {
+  std::vector<float> left, right;
+  bool ready = false;
+  bool failed = false;
+  std::string error;
+};
+
+struct Loader {
+  std::vector<std::string> lefts, rights;
+  int pw = 0, ph = 0;
+  std::vector<LoaderSlot> slots;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::atomic<int> next_job{0};
+  int next_out = 0;
+  std::atomic<bool> stop{false};
+
+  int load_one(const std::string& path, std::vector<float>* out) {
+    void* data = nullptr;
+    int w, h, ch, maxval;
+    if (dms_read_pnm(path.c_str(), &data, &w, &h, &ch, &maxval) != 0) {
+      return -1;
+    }
+    out->resize(static_cast<size_t>(pw) * ph);
+    const int rc = dms_gray_norm_pad(data, w, h, ch, maxval > 255 ? 1 : 0,
+                                     pw, ph, out->data());
+    std::free(data);
+    return rc;
+  }
+
+  void worker() {
+    for (;;) {
+      const int i = next_job.fetch_add(1);
+      if (i >= static_cast<int>(lefts.size()) || stop.load()) return;
+      LoaderSlot local;
+      if (load_one(lefts[i], &local.left) != 0 ||
+          load_one(rights[i], &local.right) != 0) {
+        local.failed = true;
+        local.error = g_error;  // thread-local, set by the failing call
+      }
+      {
+        std::lock_guard<std::mutex> lock(mu);
+        slots[i] = std::move(local);
+        slots[i].ready = true;
+      }
+      cv.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+DMS_API void* dms_loader_create(const char** left_paths,
+                                const char** right_paths, int n,
+                                int n_threads, int pw, int ph) {
+  auto* ld = new Loader;
+  ld->pw = pw;
+  ld->ph = ph;
+  ld->lefts.reserve(n);
+  ld->rights.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    ld->lefts.emplace_back(left_paths[i]);
+    ld->rights.emplace_back(right_paths[i]);
+  }
+  ld->slots.resize(n);
+  const int nt = std::max(1, std::min(n_threads, n > 0 ? n : 1));
+  for (int t = 0; t < nt; ++t) {
+    ld->workers.emplace_back(&Loader::worker, ld);
+  }
+  return ld;
+}
+
+// Copies the next pair (in submission order) into dst_left/dst_right,
+// each float32 (ph, pw).  Returns the pair index, -1 when exhausted,
+// -2 on decode failure (message via dms_last_error()).
+DMS_API int dms_loader_next(void* handle, float* dst_left,
+                            float* dst_right) {
+  auto* ld = static_cast<Loader*>(handle);
+  if (ld->next_out >= static_cast<int>(ld->slots.size())) return -1;
+  const int i = ld->next_out++;
+  std::unique_lock<std::mutex> lock(ld->mu);
+  ld->cv.wait(lock, [&] { return ld->slots[i].ready; });
+  LoaderSlot& s = ld->slots[i];
+  if (s.failed) {
+    g_error = s.error;
+    return -2;
+  }
+  std::memcpy(dst_left, s.left.data(), s.left.size() * sizeof(float));
+  std::memcpy(dst_right, s.right.data(), s.right.size() * sizeof(float));
+  // Release the decoded planes eagerly; the slot stays "ready".
+  s.left.clear();
+  s.left.shrink_to_fit();
+  s.right.clear();
+  s.right.shrink_to_fit();
+  return i;
+}
+
+DMS_API void dms_loader_destroy(void* handle) {
+  auto* ld = static_cast<Loader*>(handle);
+  ld->stop.store(true);
+  for (auto& t : ld->workers) t.join();
+  delete ld;
+}

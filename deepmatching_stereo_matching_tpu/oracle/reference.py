@@ -45,9 +45,14 @@ def to_grayscale_f32(image: np.ndarray) -> np.ndarray:
     """uint8 or float image, (H, W) or (H, W, 3) -> float32 (H, W) in [0, 1]."""
     img = np.asarray(image)
     if img.ndim == 3:
-        img = img[..., :3].astype(np.float32) @ np.array(
-            [0.299, 0.587, 0.114], dtype=np.float32
-        )
+        # Explicit left-to-right f32 sum (not `@`): BLAS sgemv's rounding
+        # order is platform-dependent; this order is reproduced bit-
+        # exactly by the native C++ prologue (native/src/dmstereo_io.cpp,
+        # built with -ffp-contract=off).
+        rgb = img[..., :3].astype(np.float32)
+        img = (np.float32(0.299) * rgb[..., 0]
+               + np.float32(0.587) * rgb[..., 1]
+               + np.float32(0.114) * rgb[..., 2])
     img = img.astype(np.float32)
     if img.max(initial=0.0) > 1.5:  # assume 8-bit range
         img = img / np.float32(255.0)
