@@ -101,12 +101,18 @@ def run_stream(pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
                          f"data axis ({n_data})")
 
     t_start = time.perf_counter()
-    done = retries = 0
+    done = retries = pairs_done = 0
     batch: List[Tuple[np.ndarray, np.ndarray]] = []
     index = 0
 
-    def flush(batch, index):
-        nonlocal done, retries
+    def flush(batch, index, real):
+        """Run one padded batch; `real` <= len(batch) pairs are genuine.
+
+        Padded tail slots (duplicates of the last pair) are excluded
+        from every report: Mpx/s, pairs_completed, and the outputs
+        handed to `on_result` all cover the first `real` pairs only.
+        """
+        nonlocal done, retries, pairs_done
         if index < start_batch:
             return
         lefts = sharded.pad_batch([p[0] for p in batch], cfg, height,
@@ -133,30 +139,29 @@ def run_stream(pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
                             completed_batches=done)
                     raise
         done += 1
-        log.log("batch_done", batch=index, pairs=len(batch),
+        pairs_done += real
+        log.log("batch_done", batch=index, pairs=real,
                 seconds=round(dt, 4),
-                mpx_per_s=round(len(batch) * height * width * 1e-6 / dt,
-                                3))
+                mpx_per_s=round(real * height * width * 1e-6 / dt, 3))
         if on_result is not None:
-            on_result(index, out)
+            on_result(index, {k: v[:real] for k, v in out.items()})
 
     for pair in pairs:
         batch.append(pair)
         if len(batch) == batch_size:
-            flush(batch, index)
+            flush(batch, index, batch_size)
             batch = []
             index += 1
     if batch:
-        # Pad the tail batch by repeating the last pair (results for the
-        # padded slots are discarded by the caller via the pair count).
+        # Pad the tail batch by repeating the last pair; the padded
+        # slots are stripped from the outputs and all accounting.
         tail = len(batch)
         while len(batch) % batch_size:
             batch.append(batch[-1])
         log.log("tail_batch", batch=index, real_pairs=tail)
-        flush(batch, index)
+        flush(batch, index, tail)
 
     seconds = time.perf_counter() - t_start
-    pairs_done = done * batch_size
     report = StreamReport(
         batches_completed=done,
         pairs_completed=pairs_done,

@@ -48,11 +48,19 @@ def test_stream_completes_and_reports(tmp_path):
 
 
 def test_stream_tail_batch_padding():
+    """Padded tail slots are excluded from all accounting (VERDICT r1 #7)."""
     cfg = Config(max_disparity=D)
     mesh = parallel.make_mesh(1, 8)
-    report = parallel.run_stream(make_pairs(5), cfg, H, W, mesh,
-                                 batch_size=4)
+    results = {}
+    report = parallel.run_stream(
+        make_pairs(5), cfg, H, W, mesh, batch_size=4,
+        on_result=lambda i, out: results.update({i: out}))
     assert report.batches_completed == 2  # 4 + padded tail of 1
+    assert report.pairs_completed == 5    # NOT 8: padding doesn't count
+    assert results[0]["disparity"].shape == (4, H, W)
+    assert results[1]["disparity"].shape == (1, H, W)  # real tail only
+    # Throughput denominates in real pixels only.
+    assert report.mpx_per_s <= 5 * H * W * 1e-6 / max(report.seconds, 1e-9)
 
 
 def test_stream_resume_skips_completed():
