@@ -68,6 +68,23 @@ def _select_at(values: jnp.ndarray, k: jnp.ndarray,
     return jnp.sum(jnp.where(sel, values, zero), axis=-1, dtype=acc_dtype)
 
 
+def backtrack_from(k: jnp.ndarray, args: List[jnp.ndarray]) -> jnp.ndarray:
+    """Descend selected bins `k` through the recorded pool offsets.
+
+    k is a (H, W) int32 map of winning disparity bins at level
+    ``len(args)`` (relative to args[0]'s level); each step doubles the
+    spatial grid and refines the bin via the recorded argmax offsets.
+    Split out of `backtrack` so the W-tiled sharded pipeline
+    (parallel/wtiled.py) can descend the replicated coarse levels, slice
+    its tile, and continue locally through the same code.
+    """
+    for arg in reversed(args):
+        kr = jnp.repeat(jnp.repeat(k, 2, axis=0), 2, axis=1)
+        off = _select_at(arg, kr, jnp.int32)
+        k = 2 * kr + off
+    return k
+
+
 def backtrack(maps: List[jnp.ndarray], args: List[jnp.ndarray]
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense top-down argmax propagation (SURVEY.md §3.4).
@@ -76,12 +93,8 @@ def backtrack(maps: List[jnp.ndarray], args: List[jnp.ndarray]
     Matches oracle/reference.py:backtrack exactly (the one-hot reduce
     selects the same elements the oracle's take_along_axis gathers).
     """
-    levels = len(args)
-    k = jnp.argmax(maps[levels], axis=-1).astype(jnp.int32)
-    for lvl in range(levels - 1, -1, -1):
-        kr = jnp.repeat(jnp.repeat(k, 2, axis=0), 2, axis=1)
-        off = _select_at(args[lvl], kr, jnp.int32)
-        k = 2 * kr + off
+    k = jnp.argmax(maps[len(args)], axis=-1).astype(jnp.int32)
+    k = backtrack_from(k, args)
     score = _select_at(maps[0], k, jnp.float32)
     return k, score
 
@@ -217,12 +230,37 @@ def lr_consistency_patch(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
       disp_l/disp_r: (H0, W0) int32 patch disparities.
     Returns: (H0*p, W0*p) bool pixel validity.
     """
-    h0, w0 = disp_l.shape
+    h0, _ = disp_l.shape
     p = patch_size
     n_q = (num_disparities + p - 1) // p
     sentinel = jnp.iinfo(jnp.int32).min // 2
     pad = jnp.full((h0, n_q + 1), sentinel, dtype=disp_r.dtype)
     padded = jnp.concatenate([pad, disp_r], axis=1)
+    return lr_consistency_patch_padded(disp_l, padded, tau,
+                                       num_disparities, patch_size)
+
+
+def lr_consistency_patch_padded(disp_l: jnp.ndarray, padded: jnp.ndarray,
+                                tau: float, num_disparities: int,
+                                patch_size: int, col0_patches=0
+                                ) -> jnp.ndarray:
+    """`lr_consistency_patch` core on a PRE-PADDED right disparity map.
+
+    `padded` is (H0, n_q + 1 + W0): the last W0 columns are dR for the
+    W-range being checked, the first n_q + 1 columns are the patch
+    columns immediately to its LEFT — the sentinel out-of-image fill in
+    the unsharded case, or the W-neighbour tile's trailing columns
+    (exchanged via `ppermute`) in the W-tiled sharded case
+    (parallel/wtiled.py).  `col0_patches` is the global patch-column
+    index of disp_l[:, 0] (may be traced), used for the in-range
+    x >= dL test.
+    """
+    p = patch_size
+    n_q = (num_disparities + p - 1) // p
+    h0 = disp_l.shape[0]
+    w0 = padded.shape[1] - (n_q + 1)
+    sentinel = jnp.iinfo(jnp.int32).min // 2
+    disp_r = padded[:, n_q + 1:]
     q_l = disp_l // p
     r_l = disp_l % p
 
@@ -244,7 +282,8 @@ def lr_consistency_patch(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
     ok_b = jnp.abs(disp_l - d_r_b) <= tau
     # Per sub-column c: select A/B on c >= r, and in-range x >= dL.
     c = jnp.arange(p, dtype=jnp.int32)[None, None, :]
-    xs = (jnp.arange(w0, dtype=jnp.int32) * p)[None, :, None] + c
+    j0 = jnp.asarray(col0_patches, jnp.int32)
+    xs = ((j0 + jnp.arange(w0, dtype=jnp.int32)) * p)[None, :, None] + c
     valid = jnp.where(c >= r_l[:, :, None], ok_a[:, :, None],
                       ok_b[:, :, None])
     valid &= disp_l[:, :, None] <= xs

@@ -69,14 +69,29 @@ def pad_image(img: np.ndarray, geom: Geometry) -> np.ndarray:
 def _grad_hist_pixels(img: np.ndarray, bins: int = 8) -> np.ndarray:
     """Per-pixel magnitude-weighted hard-assigned orientation histogram.
 
-    Returns (H, W, bins) float32.  A simplified dense-SIFT-like pixel
-    descriptor in the spirit of [DM §3.1].
+    Returns (H, W, bins) float32.  A dense-SIFT-like pixel descriptor in
+    the spirit of [DM §3.1], defined with EXACT float ops only:
+    comparison-based octant binning (8 half-open [-pi, pi) octants, the
+    same sectors arctan2-based binning yields) and an L1 gradient
+    magnitude.  No arctan2/sqrt means every backend and every sharding
+    of the jnp path (models/descriptors.py:hist_from_gradients)
+    reproduces this bit-for-bit regardless of XLA fusion/FMA/veclib
+    choices — measured on CPU XLA, sqrt/arctan2 results change by ULPs
+    with fusion context, which flips bins and breaks the bit-equality
+    mandate (SURVEY.md §5.2, BASELINE.json:5).
     """
+    if bins != 8:
+        raise ValueError("grad_hist is defined for 8 orientation bins")
     gy, gx = np.gradient(img.astype(np.float32))
-    mag = np.sqrt(gx * gx + gy * gy)
-    ang = np.arctan2(gy, gx)  # [-pi, pi]
-    bin_idx = np.floor((ang + np.pi) / (2 * np.pi) * bins).astype(np.int32)
-    bin_idx = np.clip(bin_idx, 0, bins - 1)
+    ax, ay = np.abs(gx), np.abs(gy)
+    mag = ax + ay
+    # Octants of atan2(gy, gx) in [-pi, pi), bin k covering
+    # [-pi + k*pi/4, -pi + (k+1)*pi/4), via exact comparisons.
+    idx_up = np.where(gx > 0, np.where(ay >= ax, 5, 4),
+                      np.where(ay > ax, 6, 7))
+    idx_dn = np.where(gx >= 0, np.where(ay > ax, 2, 3),
+                      np.where(ay >= ax, 1, 0))
+    bin_idx = np.where(gy >= 0, idx_up, idx_dn).astype(np.int32)
     out = np.zeros(img.shape + (bins,), dtype=np.float32)
     np.put_along_axis(out, bin_idx[..., None], mag[..., None], axis=-1)
     return out

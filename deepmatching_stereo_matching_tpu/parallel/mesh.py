@@ -44,6 +44,24 @@ def make_mesh(n_data: int, n_model: int,
     return Mesh(grid, ("data", "model"))
 
 
+def make_mesh2d(n_data: int, n_th: int, n_tw: int,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """("data", "th", "tw") mesh for the 2-D spatial tile strategy.
+
+    ``tw`` is the halo-exchange axis (parallel/wtiled.py) and is placed
+    minor so W-neighbour `ppermute`s ride adjacent ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_th * n_tw
+    if len(devices) < need:
+        raise ValueError(
+            f"need {need} devices for a ({n_data}, {n_th}, {n_tw}) mesh, "
+            f"have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_th, n_tw)
+    return Mesh(grid, ("data", "th", "tw"))
+
+
 def auto_mesh(n_devices: Optional[int] = None) -> Mesh:
     """Default mesh over n devices: data axis 2 if possible, rest model."""
     n = n_devices if n_devices is not None else len(jax.devices())

@@ -39,6 +39,7 @@ from ..config import Config, Geometry
 from ..models import descriptors, pipeline
 from ..ops import costvol as costvol_ops
 from . import mesh as mesh_lib
+from . import wtiled
 
 
 # ---------------------------------------------------------------------------
@@ -195,20 +196,25 @@ def match_batch_dslab(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
 
 
 def pad_batch(images, cfg: Config, height: int, width: int, mesh: Mesh,
-              strategy: str = "tiled"):
+              strategy: str = "tiled", merge_level=None):
     """Grayscale-normalise + pad a batch for the given sharded strategy.
 
-    Returns a (B, Hp, Wp) float32 numpy array whose Hp satisfies the
-    tile/slab alignment for `mesh`.
+    Returns a (B, Hp, Wp) float32 numpy array whose Hp/Wp satisfy the
+    tile/slab alignment for `mesh` (`merge_level` must match the value
+    later passed to the "wtiled" strategy — it changes the W padding).
     """
     import numpy as np
     from ..oracle import reference as oracle
 
-    n_model = mesh.shape["model"]
-    if strategy == "tiled":
-        glob, _ = mesh_lib.tiled_geometry(cfg, height, width, n_model)
+    if strategy == "wtiled":
+        glob, _, _ = wtiled.tiled2d_geometry(
+            cfg, height, width, mesh.shape["th"], mesh.shape["tw"],
+            merge_level)
+    elif strategy == "tiled":
+        glob, _ = mesh_lib.tiled_geometry(cfg, height, width,
+                                          mesh.shape["model"])
     elif strategy == "dslab":
-        glob, _ = _slab_geometry(cfg, height, width, n_model)
+        glob, _ = _slab_geometry(cfg, height, width, mesh.shape["model"])
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     out = np.zeros((len(images), glob.padded_height, glob.padded_width),
@@ -221,21 +227,27 @@ def pad_batch(images, cfg: Config, height: int, width: int, mesh: Mesh,
 
 def input_sharding(mesh: Mesh, strategy: str = "tiled") -> NamedSharding:
     """NamedSharding for (B, Hp, Wp) inputs of the given strategy."""
+    if strategy == "wtiled":
+        return NamedSharding(mesh, P("data", "th", "tw"))
     if strategy == "tiled":
         return NamedSharding(mesh, P("data", "model", None))
     return NamedSharding(mesh, P("data", None, None))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width",
-                                             "mesh", "strategy", "impl"))
+                                             "mesh", "strategy", "impl",
+                                             "merge_level"))
 def match_batch_sharded(lefts_p, rights_p, cfg: Config, height: int,
                         width: int, mesh: Mesh, strategy: str = "tiled",
-                        impl: str = "pallas"):
-    """Jitted entry: dispatches to the tiled or dslab sharded pipeline."""
+                        impl: str = "pallas", merge_level=None):
+    """Jitted entry: dispatches to a sharded pipeline strategy."""
     if strategy == "tiled":
         return match_batch_tiled(lefts_p, rights_p, cfg, height, width,
                                  mesh, impl)
     if strategy == "dslab":
         return match_batch_dslab(lefts_p, rights_p, cfg, height, width,
                                  mesh)
+    if strategy == "wtiled":
+        return wtiled.match_batch_tiled2d(lefts_p, rights_p, cfg, height,
+                                          width, mesh, impl, merge_level)
     raise ValueError(f"unknown strategy {strategy!r}")
