@@ -51,6 +51,35 @@ def init_distributed(coordinator_address: Optional[str] = None,
     return jax.process_index()
 
 
+def _put(arr: np.ndarray, sharding) -> jax.Array:
+    """Host numpy -> (possibly multi-host) global device array.
+
+    Single-process: plain device_put.  Multi-process: every host holds
+    the SAME full-size numpy array (the stream is replicated host-side),
+    and each builds its addressable shards of the global array from its
+    slice — `device_put` cannot target non-addressable devices.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def _tree_to_host(tree):
+    """Global device arrays -> full numpy arrays on EVERY host.
+
+    Multi-process arrays are only partially addressable per host; ONE
+    explicit all-gather over hosts materialises the full result tree
+    everywhere (outputs are small: a few maps of H x W per pair).
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(np.asarray,
+                        multihost_utils.process_allgather(tree, tiled=True))
+
+
 @dataclasses.dataclass
 class StreamReport:
     """Summary of one `run_stream` call."""
@@ -123,10 +152,16 @@ def run_stream(pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
         while True:
             try:
                 t0 = time.perf_counter()
-                lp = jax.device_put(lefts, sharding)
-                rp = jax.device_put(rights, sharding)
+                lp = _put(lefts, sharding)
+                rp = _put(rights, sharding)
                 out = match(lp, rp)
-                out = {k: np.asarray(v) for k, v in out.items()}
+                if on_result is not None:
+                    # Materialise full results on every host only when a
+                    # consumer asked for them (multi-host: an explicit
+                    # cross-process gather).
+                    out = _tree_to_host(out)
+                else:
+                    jax.block_until_ready(out)
                 dt = time.perf_counter() - t0
                 break
             except Exception as e:  # lost host / transient device error
