@@ -1,42 +1,41 @@
-"""Fused phased-correlation + pyramid + backtracking Pallas kernel (C2-C10).
+"""Fully fused image->disparity Pallas kernel (C2-C10 in ONE kernel).
 
 The three-stage TPU path (descriptors -> cost-volume kernel -> pyramid
 kernel) is HBM-bound on the *descriptor* tensors: the phased sliding
 descriptors are ~8x the raw image and round-trip HBM twice before the
 correlation kernel reads them (measured: descriptors + cost volume were
-~85% of device time at Middlebury scale).  This path instead splits the
-work by compute unit:
+~85% of device time at Middlebury scale).  This kernel instead reads the
+RAW padded image rows and keeps everything else — descriptors, the
+level-0 cost volume, every pyramid level, the pool-argmax offsets — in
+VMEM.  HBM traffic per pair-direction drops from ~17 MB to ~1.7 MB
+(two image reads + the patch-level disparity/score writes).
 
-  * An **XLA prologue** (this file, `_phase_stack` / `_inv_*_norms`)
-    phase-decomposes both images into p stride-p column slices and
-    precomputes the inverse patch/window norms.  These are plain strided
-    slices and small reductions — HBM-bandwidth work XLA compiles well —
-    and grow HBM traffic per pair-direction only to ~2 MB (vs ~17 MB for
-    materialised sliding descriptors).
-  * The **Pallas kernel** keeps the level-0 cost volume, every pyramid
-    level, and the pool-argmax offsets in VMEM and is pure VPU work:
-    the disparity loop multiplies static lane slices of the phased
-    arrays (d = p*dq + dr makes every disparity's target window a
-    static slice, as in ops/costvol_pallas.py), patch-row sums are
-    `reshape(bh, p, w0).sum(1)` (supported sublane reduction), and the
-    pyramid + backtracking stage is byte-for-byte the duplicated-cell
-    body of ops/pyramid_pallas.py (pyramid_body).
+How each stage avoids unsupported vector relayouts:
 
-  A first fused design did the phase decomposition *inside* the kernel
-  with exact 0/1 selection matmuls on the MXU at Precision.HIGHEST
-  (Mosaic's only full-precision matmul).  Roofline measurement
-  (tools/roofline.py) showed those matmuls bound the kernel at ~27% of
-  the 6-pass-f32 MXU ceiling (M = block rows << 128) while VPU and HBM
-  sat idle; moving the relayout into XLA strided slices removed ~0.5
-  GFLOP of MXU work per pair-direction and left a VPU-bound kernel.
-
-Normalisation is algebraic: cost[i,j,d] =
-relu(<L_patch, R_window>) * invl * invr — mathematically equal to the
-oracle's normalise-then-dot (oracle/reference.py:_normalize,
-cost_volume) but rounds differently (the oracle divides each descriptor
-element first).  Scores agree to ~1e-5 and disparity decisions match on
-non-degenerate data; the bit-exact two-kernel path remains available as
-impl='pallas' (see tests/test_fused_pallas.py).
+  * Patch phasing (the stride-p pixel->patch-column relayout that XLA
+    otherwise does with a materialised transpose-copy) is done on the
+    MXU with 0/1 *selection matmuls*: NL_o = L @ Sel_o where
+    Sel_o[x, q] = (x == p*(q - qh) + o).  A selection matmul is exact
+    in f32 (each output sums one monomial x*1.0 plus exact zeros).
+  * Per-row sums over the p patch rows (descriptor norms and the
+    cost-volume row reduction) are row-compaction matmuls with
+    Cp[i, y] = (y // p == i) — again exact selections plus an f32 MXU
+    accumulation of p terms.
+  * The disparity loop reuses the phase decomposition of
+    ops/costvol_pallas.py: d = p*dq + dr makes every disparity's target
+    window a static lane slice of a phased array, so the inner loop is
+    pure VPU multiply-add on (bh*p, W0) tiles.
+  * Normalisation is algebraic: cost[i,j,d] =
+    relu(<L_patch, R_window> / (max(|L|,eps) * max(|R_window|,eps))) —
+    mathematically equal to the oracle's normalise-then-dot
+    (oracle/reference.py:_normalize, cost_volume) but rounds
+    differently (the oracle divides each descriptor element first).
+    Scores agree to ~1e-6 and disparity decisions match on
+    non-degenerate data; the bit-exact two-kernel path remains
+    available as impl='pallas' (see tests/test_fused_pallas.py).
+  * The pyramid + backtracking stage is byte-for-byte the
+    duplicated-cell body of ops/pyramid_pallas.py (pyramid_body),
+    running on the VMEM-resident volume.
 
 Semantics mirrored from the oracle: out-of-range targets (p*j < d)
 score exactly 0, padding bins d >= max_disparity are exactly 0, norms
@@ -66,67 +65,80 @@ _EPS = 1e-8
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-# ---------------------------------------------------------------------------
-# XLA prologue: phase decomposition + inverse norms
-# ---------------------------------------------------------------------------
+def _shift_left(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """y[., i] = x[., i + s] on the lane axis (wrap never selected)."""
+    if s == 0:
+        return x
+    lo = jax.lax.slice_in_dim(x, s, x.shape[-1], 1, -1)
+    hi = jax.lax.slice_in_dim(x, 0, s, 1, -1)
+    return jax.lax.concatenate([lo, hi], x.ndim - 1)
 
 
-def _phase_stack(img: jnp.ndarray, p: int, qh: int) -> jnp.ndarray:
-    """(hp, Wpix) -> (p, hp, wn) with [o, y, qh + q] = img[y, p*q + o].
+def _selection(wp: int, wn: int, p: int, qh: int, o: int) -> jnp.ndarray:
+    """Sel[x, q'] = 1.0 where x == p*(q' - qh) + o (0/1 f32 matrix)."""
+    ix = jax.lax.broadcasted_iota(jnp.int32, (wp, wn), 0)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (wp, wn), 1)
+    return (ix == p * (iq - qh) + o).astype(jnp.float32)
 
-    Columns q' < qh (the disparity headroom) are zero; wn = Wpix//p + qh.
-    A strided slice per phase — the XLA replacement for the original
-    in-kernel 0/1 selection matmuls.
+
+def _row_compaction(bh: int, bp: int, p: int) -> jnp.ndarray:
+    """Cp[i, y] = 1.0 where y // p == i ((bh, bh*p) 0/1 f32 matrix)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bh, bp), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (bh, bp), 1)
+    return (ii == iy // p).astype(jnp.float32)
+
+
+def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """f32 MXU matmul at full operand precision.
+
+    TPU MXUs multiply bf16 operands by default, which would truncate
+    the image values flowing through the selection/compaction matmuls
+    (measured: ~1e-2 cost-volume error, ~2.5% disparity flips).
+    HIGHEST forces the multipass f32 decomposition, which is EXACT
+    here: every matmul in this kernel multiplies f32 values by
+    exact-{0,1} selection weights and accumulates in f32.  (Mosaic
+    rejects Precision.HIGH inside kernels; HIGHEST is the only
+    full-precision option.)
     """
-    w0 = img.shape[1] // p
-    return jnp.stack([
-        jnp.pad(img[:, o::p], ((0, 0), (qh, 0))) for o in range(p)])
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
-def _inv_left_norms(left_p: jnp.ndarray, p: int) -> jnp.ndarray:
-    """(hp, wp) -> (h0, w0): 1 / max(||L_patch||, eps)."""
-    hp, wp = left_p.shape
-    h0, w0 = hp // p, wp // p
-    sq = left_p * left_p
-    m2 = sq.reshape(h0, p, w0, p).sum(axis=(1, 3))
-    return 1.0 / jnp.maximum(jnp.sqrt(m2), jnp.float32(_EPS))
+def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
+                max_d: int, qh: int, dtype) -> jnp.ndarray:
+    """(bp, Wp) f32 image row blocks -> (d0, bp//p, Wp//p) cost block."""
+    bp, wp = left.shape
+    bh, w0 = bp // p, wp // p
+    wn = w0 + qh
 
+    # Phased columns of both images via exact selection matmuls:
+    # NL[o][y, qh + q] = left[y, p*q + o] (0 outside), same for NR.
+    sels = [_selection(wp, wn, p, qh, o) for o in range(p)]
+    nl = [_dot(left, s) for s in sels]   # p x (bp, wn)
+    nr = [_dot(right, s) for s in sels]
+    cpt = _row_compaction(bh, bp, p)
 
-def _inv_right_norms(right_p: jnp.ndarray, p: int, qh: int) -> jnp.ndarray:
-    """(hp, wp) -> (p, h0, wn): phased 1 / max(||R_window(x0)||, eps).
+    # Left patch norms: nl2[i, j] = sum_{dr,dc} left[p*i+dr, p*j+dc]^2.
+    m2 = None
+    for o in range(p):
+        sq = nl[o][:, qh: qh + w0]
+        sq = sq * sq
+        m2 = sq if m2 is None else m2 + sq
+    invl = 1.0 / jnp.maximum(jnp.sqrt(_dot(cpt, m2)), _EPS)   # (bh, w0)
 
-    The target window at column x0 spans rows [p*i, p*i + p) and columns
-    [x0, x0 + p); windows overrunning the right image edge get partial
-    sums, but those x0 are never selected by the disparity loop
-    (x0 = p*j - d <= wp - p).  Zero-padded phase columns (q' < qh) give
-    inv = 0 there, masked to exact 0 downstream by the p*j >= d rule.
-    """
-    hp, wp = right_p.shape
-    h0 = hp // p
-    r2row = (right_p * right_p).reshape(h0, p, wp).sum(axis=1)
+    # Right sliding-window norms on the x0 grid: the target window at
+    # x0 spans columns [x0, x0+p) and rows [p*i, p*i+p).
+    r2row = _dot(cpt, right * right)                          # (bh, wp)
     win = r2row
     for dc in range(1, p):
-        win = win + jnp.pad(r2row[:, dc:], ((0, 0), (0, dc)))
-    inv = 1.0 / jnp.maximum(jnp.sqrt(win), jnp.float32(_EPS))
-    return _phase_stack(inv, p, qh)
-
-
-# ---------------------------------------------------------------------------
-# Pallas kernel: disparity loop + pyramid + backtracking (pure VPU)
-# ---------------------------------------------------------------------------
-
-
-def _cost_block(nl: jnp.ndarray, nr: jnp.ndarray, invl: jnp.ndarray,
-                invr: jnp.ndarray, *, p: int, d0: int, max_d: int,
-                qh: int, dtype) -> jnp.ndarray:
-    """Phased (p, bp, wn) blocks -> (d0, bp//p, w0) cost block."""
-    _, bp, wn = nl.shape
-    bh = bp // p
-    w0 = wn - qh
+        win = win + _shift_left(r2row, dc)
+    nr_x0 = jnp.sqrt(win)                                     # (bh, wp)
+    # Phase it like the data so each d's norms are a static lane slice.
+    invr = [1.0 / jnp.maximum(_dot(nr_x0, s), _EPS) for s in sels]
 
     # Disparity loop (hot loop #1, oracle/reference.py:cost_volume):
-    # cost[i, j, d] = relu(<L_ij, R_window(p*j - d)>) * invl * invr,
-    # 0 when the window starts left of the image or d >= max_disparity.
+    # cost[i, j, d] = relu(<L_ij, R_window(p*j - d)>) / norms, 0 when
+    # the window starts left of the image or d >= max_disparity.
     jj = jax.lax.broadcasted_iota(jnp.int32, (bh, w0), 1)
     zero_plane = jnp.zeros((bh, w0), dtype=dtype)
     costs = []
@@ -142,22 +154,20 @@ def _cost_block(nl: jnp.ndarray, nr: jnp.ndarray, invl: jnp.ndarray,
             term = (nl[dc][:, qh: qh + w0]
                     * nr[o][:, qh - s: qh - s + w0])
             acc = term if acc is None else acc + term
-        raw = acc.reshape(bh, p, w0).sum(axis=1)            # patch rows
+        raw = _dot(cpt, acc)                                  # (bh, w0)
         s_n = dq + (1 if drem else 0)
         corr = (raw * invl
                 * invr[(-d) % p][:, qh - s_n: qh - s_n + w0])
         c = jnp.where(jj * p >= d, jnp.maximum(corr, 0.0), 0.0)
         costs.append(c.astype(dtype))
 
-    return jnp.stack(costs, axis=0)                         # (d0, bh, w0)
+    return jnp.stack(costs, axis=0)                           # (d0, bh, w0)
 
 
-def _kernel(nl_ref, nr_ref, invl_ref, invr_ref, disp_ref, score_ref, *,
-            p: int, d0: int, max_d: int, qh: int, levels: int,
-            lam: float, dtype):
-    cost0 = _cost_block(nl_ref[...], nr_ref[...], invl_ref[...],
-                        invr_ref[...], p=p, d0=d0, max_d=max_d, qh=qh,
-                        dtype=dtype)
+def _kernel(l_ref, r_ref, disp_ref, score_ref, *, p: int, d0: int,
+            max_d: int, qh: int, levels: int, lam: float, dtype):
+    cost0 = _cost_block(l_ref[...], r_ref[...], p=p, d0=d0, max_d=max_d,
+                        qh=qh, dtype=dtype)
     k, sc = pyramid_pallas.pyramid_body(cost0, levels, lam)
     disp_ref[...] = k
     score_ref[...] = sc
@@ -173,8 +183,8 @@ def _vmem_estimate(d0: int, bh: int, w0: int, p: int, qh: int,
                    itemsize: int) -> int:
     vol = d0 * bh * w0 * itemsize
     phased = 2 * p * (bh * p) * (w0 + qh) * 4
-    norms = (p + 1) * bh * (w0 + qh) * 4
-    return 2 * vol + 2 * phased + norms   # pyramid transients ~1x vol
+    images = 2 * (bh * p) * (w0 * p) * 4
+    return 2 * vol + phased + images      # pyramid transients ~1x vol
 
 
 def supported(cfg: Config, geom: Geometry) -> bool:
@@ -213,38 +223,31 @@ def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
             f"quadtree unit {unit}")
     bh = _block_rows(h0, unit)
     qh = (max_d - 1) // p + 2
-    wn = w0 + qh
-    nl = _phase_stack(left_p, p, qh)
-    nr = _phase_stack(right_p, p, qh)
-    invl = _inv_left_norms(left_p, p)
-    invr = _inv_right_norms(right_p, p, qh)
     kernel = functools.partial(_kernel, p=p, d0=d0, max_d=max_d, qh=qh,
                                levels=levels, lam=lam,
                                dtype=jnp.dtype(dtype))
-    phase_spec = pl.BlockSpec((p, bh * p, wn), lambda i: (0, i, 0),
-                              memory_space=pltpu.VMEM)
-    invl_spec = pl.BlockSpec((bh, w0), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    invr_spec = pl.BlockSpec((p, bh, wn), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((bh * p, wp), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, w0), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    itemsize = jnp.dtype(dtype).itemsize
     return pl.pallas_call(
         kernel,
         grid=(h0 // bh,),
-        in_specs=[phase_spec, phase_spec, invl_spec, invr_spec],
+        in_specs=[in_spec, in_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((h0, w0), jnp.int32),
                    jax.ShapeDtypeStruct((h0, w0), jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            # VPU disparity loop dominates; pyramid ~12 ops/cell.
-            flops=2 * max_d * hp * w0 * (p + 1) + 12 * d0 * h0 * w0,
-            bytes_accessed=4 * (2 * p * hp + (p + 1) * h0) * wn
-            + 8 * h0 * w0,
+            # Selection/compaction matmuls dominate the FLOP count.
+            flops=2 * hp * wp * (w0 + qh) * 2 * p
+            + 2 * max_d * h0 * w0 * (p * p + p)
+            + 12 * d0 * h0 * w0,
+            bytes_accessed=4 * 2 * hp * wp + 8 * h0 * w0,
             transcendentals=2 * d0 * h0 * w0,
         ),
         interpret=interpret,
-    )(nl, nr, invl, invr)
+    )(left_p, right_p)
 
 
 def match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
