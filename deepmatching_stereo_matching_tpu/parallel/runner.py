@@ -99,6 +99,7 @@ def run_stream(pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
                impl: str = "jnp",
                start_batch: int = 0,
                max_retries: int = 2,
+               merge_level: Optional[int] = None,
                on_result: Optional[Callable[[int, dict], None]] = None,
                logger: Optional[JsonlLogger] = None,
                _match_fn: Optional[Callable] = None) -> StreamReport:
@@ -110,6 +111,9 @@ def run_stream(pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
       start_batch: skip batches below this index (resume-after-restart).
       max_retries: per-batch retry budget for transient device/host
         failures; exceeded -> the error propagates.
+      merge_level: for the "wtiled" strategy, the pyramid level at which
+        tiles all_gather-merge (parallel/wtiled.py); changes the input
+        padding, so it must flow to both pad_batch and the matcher.
       on_result: callback(batch_index, host_outputs_dict).
       _match_fn: test hook replacing the jitted sharded step
         (fault injection, SURVEY.md §5.3).
@@ -122,7 +126,8 @@ def run_stream(pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
     log = logger or JsonlLogger()
     match = _match_fn or (
         lambda lp, rp: sharded.match_batch_sharded(
-            lp, rp, cfg, height, width, mesh, strategy, impl))
+            lp, rp, cfg, height, width, mesh, strategy, impl,
+            merge_level))
     sharding = sharded.input_sharding(mesh, strategy)
     n_data = mesh.shape["data"]
     if batch_size % n_data:
@@ -145,9 +150,9 @@ def run_stream(pairs: Iterable[Tuple[np.ndarray, np.ndarray]],
         if index < start_batch:
             return
         lefts = sharded.pad_batch([p[0] for p in batch], cfg, height,
-                                  width, mesh, strategy)
+                                  width, mesh, strategy, merge_level)
         rights = sharded.pad_batch([p[1] for p in batch], cfg, height,
-                                   width, mesh, strategy)
+                                   width, mesh, strategy, merge_level)
         attempt = 0
         while True:
             try:
@@ -212,6 +217,7 @@ def scaling_sweep(cfg: Config, height: int, width: int,
                   mesh_sizes: Sequence[int],
                   batch_size: int = 8, n_batches: int = 4,
                   strategy: str = "tiled", impl: str = "jnp",
+                  merge_level: Optional[int] = None,
                   seed: int = 0) -> List[dict]:
     """Mpx/s at several mesh widths -> scaling-efficiency table (M5).
 
@@ -240,9 +246,9 @@ def scaling_sweep(cfg: Config, height: int, width: int,
         mesh = mesh_lib.make_mesh(n_data, n // n_data)
         # Warm-up compile outside the timed stream.
         run_stream(pairs[:batch_size], cfg, height, width, mesh,
-                   strategy, batch_size, impl)
+                   strategy, batch_size, impl, merge_level=merge_level)
         rep = run_stream(pairs, cfg, height, width, mesh, strategy,
-                         batch_size, impl)
+                         batch_size, impl, merge_level=merge_level)
         row = {"devices": n, "mesh": dict(mesh.shape),
                "mpx_per_s": round(rep.mpx_per_s, 3)}
         if base is None:

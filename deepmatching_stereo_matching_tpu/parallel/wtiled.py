@@ -220,7 +220,7 @@ def _features_slab(slab: jnp.ndarray, cfg: Config, row0, col0,
 
 
 def _match_tile(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray, cfg: Config,
-                local: Geometry, l0: int, halo_q: int, n_tw: int,
+                local: Geometry, l0: int, halo_q: int,
                 impl: str, reverse: bool
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One direction on a tile: halo-extended targets, optional merge.
@@ -318,7 +318,7 @@ def match_batch_tiled2d(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
         desc_tgt = descriptors.sliding_descriptors(
             feat_t, cfg, col0=col0, width_global=glob.padded_width)
         return _match_tile(desc_src, desc_tgt, cfg, local, l0, halo_q,
-                           n_tw, impl, reverse)
+                           impl, reverse)
 
     fwd = functools.partial(per_pair, reverse=False)
 

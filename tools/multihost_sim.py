@@ -107,6 +107,7 @@ def worker(args) -> None:
     }
     for strategy, mesh in [
         ("tiled", parallel.make_mesh(2, n_dev // 2)),
+        ("dslab", parallel.make_mesh(2, n_dev // 2)),
         ("wtiled", parallel.make_mesh2d(2, 1, n_dev // 2)),
     ]:
         # Warm-up stream (compiles the sharded step) so the reported
@@ -168,30 +169,44 @@ def _spawn(n_procs, local_devices, args, tag):
                JAX_PLATFORMS="cpu",
                PYTHONPATH=REPO)
     procs, reports = [], []
-    for pid in range(n_procs):
-        rpt = os.path.join(args.tmpdir, f"{tag}_p{pid}.json")
-        reports.append(rpt)
-        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-               "--process-id", str(pid),
-               "--num-processes", str(n_procs),
-               "--coordinator", f"localhost:{port}",
-               "--pairs", str(args.pairs),
-               "--height", str(args.height), "--width", str(args.width),
-               "--report", rpt]
-        log = open(os.path.join(args.tmpdir, f"{tag}_p{pid}.log"), "w")
-        procs.append((subprocess.Popen(cmd, env=env, stdout=log,
-                                       stderr=subprocess.STDOUT), log))
-    deadline = time.time() + args.timeout
-    for p, log in procs:
-        p.wait(timeout=max(5.0, deadline - time.time()))
-        log.close()
+    try:
+        for pid in range(n_procs):
+            rpt = os.path.join(args.tmpdir, f"{tag}_p{pid}.json")
+            reports.append(rpt)
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   "--process-id", str(pid),
+                   "--num-processes", str(n_procs),
+                   "--coordinator", f"localhost:{port}",
+                   "--pairs", str(args.pairs),
+                   "--height", str(args.height),
+                   "--width", str(args.width),
+                   "--report", rpt]
+            log = open(os.path.join(args.tmpdir, f"{tag}_p{pid}.log"), "w")
+            procs.append((subprocess.Popen(cmd, env=env, stdout=log,
+                                           stderr=subprocess.STDOUT), log))
+        deadline = time.time() + args.timeout
+        for p, _ in procs:
+            p.wait(timeout=max(5.0, deadline - time.time()))
+    finally:
+        # A hung/failed worker must not leak its siblings (they hold
+        # the coordination-service port) or the open log handles.
+        for p, log in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+            log.close()
     for pid, (p, _) in enumerate(procs):
         if p.returncode != 0:
             logf = os.path.join(args.tmpdir, f"{tag}_p{pid}.log")
-            tail = open(logf).read()[-2000:]
+            with open(logf) as f:
+                tail = f.read()[-2000:]
             raise RuntimeError(
                 f"{tag} worker {pid} exited {p.returncode}:\n{tail}")
-    return [json.load(open(r)) for r in reports]
+    out = []
+    for r in reports:
+        with open(r) as f:
+            out.append(json.load(f))
+    return out
 
 
 def parent(args) -> None:
