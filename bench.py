@@ -11,6 +11,17 @@ denominator is the NumPy oracle's Mpx/s on this machine's CPU —
 the stand-in for the pure-NumPy reference (SURVEY.md §4.1/§6) — measured
 once and cached in ORACLE_BASELINE.json.
 
+Besides throughput, every bench run gates QUALITY on the real chip
+(VERDICT.md r2 item 3): the compiled two-kernel Pallas path must match
+the NumPy oracle BITWISE on disparity decisions for PARITY_PAIRS bench
+pairs, and the fused kernel (different-but-algebraically-equal
+normalisation, ops/fused_pallas.py) may flip at most FUSED_DECISION_TOL
+of patch decisions.  Any violation exits nonzero, so a Mosaic-only
+numerics break can never ship inside a green bench.  It also smoke-runs
+the wtiled + dslab sharded strategies on a 1-device mesh on the chip
+(shard_map + Pallas must lower on real Mosaic, not just CPU interpret)
+and measures the bf16 fused path.
+
 All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
@@ -29,6 +40,13 @@ H, W, MAX_D = 375, 450, 64
 BATCH = 32
 ITERS = 10
 ORACLE_FILE = os.path.join(REPO, "ORACLE_BASELINE.json")
+# On-chip parity gate: pairs checked against the NumPy oracle, and the
+# documented fused-kernel tolerance — the fused normalisation differs
+# from the oracle's by rounding only (scores agree to ~1e-5), so
+# disparity decisions may flip only on near-ties; allow 0.5% of patch
+# decisions, gate bitwise for the two-kernel 'pallas' path.
+PARITY_PAIRS = 4
+FUSED_DECISION_TOL = 0.005
 
 
 def log(*a):
@@ -150,10 +168,184 @@ def tpu_mpxs(pairs):
     return v
 
 
+def parity_gate(pairs):
+    """Compiled-on-chip outputs vs the NumPy oracle (exit 1 on failure).
+
+    'pallas' (two-kernel) must be BITWISE equal on every output;
+    'fused' may flip <= FUSED_DECISION_TOL of patch decisions.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepmatching_stereo_matching_tpu.models import pipeline
+    from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+    from deepmatching_stereo_matching_tpu.utils import metrics
+
+    cfg = bench_config()
+    sub = pairs[:PARITY_PAIRS]
+    t0 = time.perf_counter()
+    want = [oracle.match_stereo(l, r, cfg) for l, r, _ in sub]
+    log(f"parity gate: oracle on {len(sub)} pairs took "
+        f"{time.perf_counter() - t0:.1f} s")
+
+    failures = []
+    for impl in ("pallas", "fused"):
+        outs = []
+        for left, right, _ in sub:
+            o = pipeline.match_padded(
+                jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left),
+                                             cfg.geometry(H, W))),
+                jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right),
+                                             cfg.geometry(H, W))),
+                cfg, H, W, impl)
+            outs.append({k: np.asarray(v) for k, v in o.items()})
+        for i, (got, w_) in enumerate(zip(outs, want)):
+            raw_neq = np.mean(got["disparity_raw"] != w_.disparity_raw)
+            val_neq = np.mean(got["valid"] != w_.valid)
+            bad_tpu = metrics.bad_pixel_rate(got["disparity"], sub[i][2],
+                                             count_invalid=False)
+            bad_ora = metrics.bad_pixel_rate(w_.disparity, sub[i][2],
+                                             count_invalid=False)
+            log(f"parity[{impl}] pair {i}: raw_neq={raw_neq:.2e} "
+                f"valid_neq={val_neq:.2e} bad_tpu={bad_tpu:.4f} "
+                f"bad_oracle={bad_ora:.4f} delta={bad_tpu - bad_ora:+.4f}")
+            if impl == "pallas":
+                # Disparity DECISIONS are the bitwise contract; scores
+                # may differ in the last ulp (XLA fuses the descriptor
+                # normalisation differently than NumPy rounds it).
+                ok = (raw_neq == 0.0 and val_neq == 0.0
+                      and np.array_equal(got["disparity"], w_.disparity,
+                                         equal_nan=True)
+                      and np.array_equal(got["disparity_right"],
+                                         w_.disparity_right)
+                      and np.allclose(got["score"], w_.score, rtol=1e-5))
+                if not ok:
+                    failures.append(f"pallas pair {i}: not bitwise "
+                                    f"(raw_neq={raw_neq}, "
+                                    f"valid_neq={val_neq})")
+            else:
+                if (raw_neq > FUSED_DECISION_TOL
+                        or val_neq > FUSED_DECISION_TOL
+                        or abs(bad_tpu - bad_ora) > FUSED_DECISION_TOL):
+                    failures.append(f"fused pair {i}: decision "
+                                    f"disagreement {raw_neq:.4f} / "
+                                    f"{val_neq:.4f} beyond "
+                                    f"{FUSED_DECISION_TOL}")
+    if failures:
+        for f_ in failures:
+            log("PARITY FAILURE:", f_)
+        sys.exit(1)
+    log("parity gate: PASS (pallas bitwise, fused within tolerance)")
+
+
+def sharded_smoke():
+    """One wtiled + dslab step on a 1-device mesh ON THE CHIP.
+
+    Proves the shard_map + Pallas composition lowers through real
+    Mosaic (VERDICT.md r2 item 10); bitwise vs the unsharded pipeline.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepmatching_stereo_matching_tpu import Config, parallel
+    from deepmatching_stereo_matching_tpu.models import pipeline
+    from deepmatching_stereo_matching_tpu.parallel import sharded
+    from deepmatching_stereo_matching_tpu.data import synthetic
+    from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+
+    h, w, max_d = 96, 128, 16
+    cfg = Config(max_disparity=max_d, levels=2)
+    rng = np.random.default_rng(3)
+    field = synthetic.block_disparity_field(h, w, max_d, rng, block=24)
+    left, right, _ = synthetic.make_pair(h, w, field, seed=3)
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+    cases = [("wtiled", parallel.make_mesh2d(1, 1, 1), 1),
+             ("dslab", parallel.make_mesh(1, 1), None)]
+    for strategy, mesh, merge_level in cases:
+        lp = sharded.pad_batch([left], cfg, h, w, mesh, strategy,
+                               merge_level)
+        rp = sharded.pad_batch([right], cfg, h, w, mesh, strategy,
+                               merge_level)
+        out = sharded.match_batch_sharded(
+            jnp.asarray(lp), jnp.asarray(rp), cfg, h, w, mesh, strategy,
+            impl, merge_level)
+        ref = pipeline.match_padded(
+            jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left),
+                                         cfg.geometry(h, w))),
+            jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right),
+                                         cfg.geometry(h, w))),
+            cfg, h, w, "jnp")
+        for k in ref:
+            a, b = np.asarray(out[k][0]), np.asarray(ref[k])
+            if not np.array_equal(a, b, equal_nan=True):
+                log(f"SHARDED SMOKE FAILURE: {strategy}[{k}] != unsharded")
+                sys.exit(1)
+        log(f"sharded smoke [{strategy}]: 1-device mesh on "
+            f"{jax.default_backend()}, impl={impl}: bitwise OK")
+
+
+def bf16_mpxs(pairs):
+    """Fused-path bf16 throughput + quality row (VERDICT.md r2 item 6)."""
+    import dataclasses
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    from deepmatching_stereo_matching_tpu.models import pipeline
+    from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+    from deepmatching_stereo_matching_tpu.utils import metrics
+
+    cfg = dataclasses.replace(bench_config(), dtype="bfloat16")
+    geom = cfg.geometry(H, W)
+    from deepmatching_stereo_matching_tpu.ops import fused_pallas
+    impl = "fused" if (jax.default_backend() == "tpu"
+                       and fused_pallas.supported(cfg, geom)) else "jnp"
+    lp = np.stack([oracle.pad_image(oracle.to_grayscale_f32(l), geom)
+                   for l, _, _ in pairs])
+    rp = np.stack([oracle.pad_image(oracle.to_grayscale_f32(r), geom)
+                   for _, r, _ in pairs])
+
+    @functools.partial(jax.jit)
+    def step(ls, rs):
+        return jax.vmap(
+            lambda a, b: pipeline.match_padded_core(a, b, cfg, geom, impl)
+        )(ls, rs)
+
+    ls, rs = jnp.asarray(lp), jnp.asarray(rp)
+    out = step(ls, rs)
+
+    @jax.jit
+    def probe(o):
+        return o["disparity"][0, 0, 0]
+
+    float(probe(step(ls, rs)))
+    times = []
+    for n in (ITERS // 2, ITERS * 2):
+        t0 = time.perf_counter()
+        outs = [step(ls, rs) for _ in range(n)]
+        float(probe(outs[-1]))
+        times.append((n, time.perf_counter() - t0))
+    (n1, t1), (n2, t2) = times
+    t = (t2 - t1) / (n2 - n1)
+    v = BATCH * H * W * 1e-6 / t
+    disp = np.asarray(out["disparity"])[:, :H, :W]
+    rates = [metrics.bad_pixel_rate(disp[i], pairs[i][2],
+                                    count_invalid=False)
+             for i in range(BATCH)]
+    log(f"bf16 fused: {t * 1e3:.2f} ms/step = {v:.1f} Mpx/s "
+        f"(impl={impl}), mean kept-pixel bad rate "
+        f"{float(np.mean(rates)):.4f}")
+    return v
+
+
 def main():
     pairs = make_pairs(BATCH)
     base = oracle_mpxs(pairs)
     v = tpu_mpxs(pairs)
+    parity_gate(pairs)
+    sharded_smoke()
+    bf16_mpxs(pairs)
     print(json.dumps({
         "metric": "full_pipeline_throughput_per_chip",
         "value": round(v, 3),
