@@ -15,10 +15,15 @@ from deepmatching_stereo_matching_tpu.ops._dispatch import set_implementation
 from deepmatching_stereo_matching_tpu.utils.metrics import bad_pixel_rate
 
 
-@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+@pytest.mark.parametrize("impl", ["jnp", "pallas", "fused"])
 def test_bf16_quality_within_bound(impl):
     cfg16 = Config(max_disparity=24, dtype="bfloat16")
     left, right, gt = make_block_pair(96, 144, max_disparity=24, seed=4)
+    if impl == "fused":
+        from deepmatching_stereo_matching_tpu.ops import fused_pallas
+        geom = cfg16.geometry(96, 144)
+        assert fused_pallas.supported(cfg16, geom), \
+            "bench-class bf16 geometry must take the fused fast path"
     with set_implementation(impl):
         res = api.match_stereo(left, right, cfg16)
     assert res.disparity.dtype == np.float32  # outputs stay f32
