@@ -14,7 +14,8 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
-def pool3_subsample(maps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def pool3_subsample(maps: jnp.ndarray, lo_pad: jnp.ndarray | None = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """3-wide max-pool along d + x2 subsample, with argmax offsets.
 
     Returns (sub, arg), both (H, W, D//2); arg[..., k] in {-1, 0, +1} is
@@ -30,11 +31,20 @@ def pool3_subsample(maps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     centre, then hi) reproduces NumPy first-max argmax semantics
     bit-for-bit (oracle/reference.py:pool3_subsample).  arg is int8 to
     quarter the HBM traffic of the recorded backtracking indices.
+
+    `lo_pad` overrides the d = -1 window element of the FIRST pool
+    window: by default a -1.0 plane (out of range, never wins), but a
+    disparity-slab-sharded pyramid passes the previous slab's last odd
+    plane here (parallel/ringd.py halo exchange), making a slab-local
+    pool bit-identical to the unsharded one.
     """
     h, w, d = maps.shape
     even = maps[:, :, 0::2]                               # d = 2k
     odd = maps[:, :, 1::2]                                # d = 2k+1
-    pad = jnp.full((h, w, 1), -1.0, dtype=maps.dtype)
+    if lo_pad is None:
+        pad = jnp.full((h, w, 1), -1.0, dtype=maps.dtype)
+    else:
+        pad = lo_pad.astype(maps.dtype)[:, :, None]
     lo = jnp.concatenate([pad, odd[:, :, :-1]], axis=2)   # d = 2k-1
     pooled = jnp.maximum(jnp.maximum(lo, even), odd)
     arg = jnp.where(

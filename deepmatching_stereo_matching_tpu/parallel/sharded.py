@@ -213,7 +213,7 @@ def pad_batch(images, cfg: Config, height: int, width: int, mesh: Mesh,
     elif strategy == "tiled":
         glob, _ = mesh_lib.tiled_geometry(cfg, height, width,
                                           mesh.shape["model"])
-    elif strategy == "dslab":
+    elif strategy in ("dslab", "ringd"):
         glob, _ = _slab_geometry(cfg, height, width, mesh.shape["model"])
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -247,6 +247,10 @@ def match_batch_sharded(lefts_p, rights_p, cfg: Config, height: int,
     if strategy == "dslab":
         return match_batch_dslab(lefts_p, rights_p, cfg, height, width,
                                  mesh)
+    if strategy == "ringd":
+        from . import ringd
+        return ringd.match_batch_ringd(lefts_p, rights_p, cfg, height,
+                                       width, mesh)
     if strategy == "wtiled":
         return wtiled.match_batch_tiled2d(lefts_p, rights_p, cfg, height,
                                           width, mesh, impl, merge_level)

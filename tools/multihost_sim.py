@@ -108,6 +108,7 @@ def worker(args) -> None:
     for strategy, mesh in [
         ("tiled", parallel.make_mesh(2, n_dev // 2)),
         ("dslab", parallel.make_mesh(2, n_dev // 2)),
+        ("ringd", parallel.make_mesh(2, n_dev // 2)),
         ("wtiled", parallel.make_mesh2d(2, 1, n_dev // 2)),
     ]:
         # Warm-up stream (compiles the sharded step) so the reported
