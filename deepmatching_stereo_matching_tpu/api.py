@@ -39,10 +39,13 @@ def preprocess(image: np.ndarray, cfg: Config, height: int, width: int
     return _oracle.pad_image(gray, geom)
 
 
-def match_stereo(left, right, cfg: Config = Config()) -> MatchResult:
+def match_stereo(left, right, cfg: Config = Config(),
+                 impl: Optional[str] = None) -> MatchResult:
     """Dense disparity for a rectified pair, computed on device.
 
     Accepts uint8/float, grayscale or RGB arrays of equal shape.
+    `impl` overrides the ambient implementation ('fused'|'pallas'|'jnp',
+    ops/_dispatch.py) for this call.
     """
     left = np.asarray(left)
     right = np.asarray(right)
@@ -51,7 +54,8 @@ def match_stereo(left, right, cfg: Config = Config()) -> MatchResult:
     h, w = left.shape[:2]
     lp = jnp.asarray(preprocess(left, cfg, h, w))
     rp = jnp.asarray(preprocess(right, cfg, h, w))
-    out = pipeline.match_padded(lp, rp, cfg, h, w, implementation())
+    out = pipeline.match_padded(lp, rp, cfg, h, w,
+                                impl or implementation())
     return MatchResult(
         disparity=np.asarray(out["disparity"]),
         disparity_raw=np.asarray(out["disparity_raw"], dtype=np.int32),

@@ -25,7 +25,9 @@ def bad_pixel_rate(pred: np.ndarray, gt: np.ndarray, delta: float = 1.0,
     """
     gt = np.asarray(gt, dtype=np.float32)
     pred = np.asarray(pred, dtype=np.float32)
-    mask = gt != gt_invalid
+    # Invalid GT is either the sentinel value or non-finite (the NaN /
+    # inf conventions of KITTI png16 and Middlebury PFM readers).
+    mask = (gt != gt_invalid) & np.isfinite(gt)
     if not count_invalid:
         mask &= np.isfinite(pred)
     if not mask.any():
@@ -45,7 +47,7 @@ def end_point_error(pred: np.ndarray, gt: np.ndarray,
     """Mean |pred - gt| over pixels where both are valid."""
     gt = np.asarray(gt, dtype=np.float32)
     pred = np.asarray(pred, dtype=np.float32)
-    mask = (gt != gt_invalid) & np.isfinite(pred)
+    mask = (gt != gt_invalid) & np.isfinite(gt) & np.isfinite(pred)
     if not mask.any():
         return float("inf")
     return float(np.mean(np.abs(pred - gt)[mask]))
