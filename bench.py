@@ -339,6 +339,84 @@ def bf16_mpxs(pairs):
     return v
 
 
+def native_io_row(pairs):
+    """Host input-path throughput: native prefetch loader vs Python.
+
+    Measured on RGB PPM pairs at the bench resolution (the Middlebury-
+    realistic decode: Python pays numpy temporaries for the grayscale
+    matmul; the C++ loader does decode+gray+normalise+pad in one pass
+    on worker threads).  Also measures the OVERLAP case — a consumer
+    that "computes" ~5 ms per pair, like the device stream — where
+    prefetch should hide the input path entirely.  Host-only; no
+    device involvement.  (For pre-grayscale u8 PGMs numpy's vectorised
+    reader is faster serially; the loader's win there is overlap only.)
+    """
+    import tempfile
+
+    from deepmatching_stereo_matching_tpu import native
+    from deepmatching_stereo_matching_tpu.io import images
+    from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+
+    if not native.available():
+        log(f"native io: unavailable ({native.build_error()})")
+        return
+    cfg = bench_config()
+    geom = cfg.geometry(H, W)
+    tmp = tempfile.mkdtemp(prefix="bench_native_io_")
+    rng = np.random.default_rng(0)
+    lefts, rights = [], []
+    for i in range(len(pairs)):
+        for side, acc in (("l", lefts), ("r", rights)):
+            img = rng.integers(0, 256, (H, W, 3), dtype="uint8")
+            p = os.path.join(tmp, f"{i}_{side}.ppm")
+            native.write_pnm(p, img)
+            acc.append(p)
+
+    def py_load(lp, rp):
+        return tuple(
+            oracle.pad_image(oracle.to_grayscale_f32(images._load_pnm(p)),
+                             geom) for p in (lp, rp))
+
+    # Serial decode throughput.
+    t0 = time.perf_counter()
+    for lp, rp in zip(lefts, rights):
+        py_load(lp, rp)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with native.PairLoader(lefts, rights, geom.padded_height,
+                           geom.padded_width, num_threads=4) as ld:
+        n = sum(1 for _ in ld)
+    t_nat = time.perf_counter() - t0
+    assert n == len(lefts)
+    log(f"native io: decode+pad {n} RGB pairs: python {t_py*1e3:.1f} ms, "
+        f"native 4-thread prefetch {t_nat*1e3:.1f} ms "
+        f"({t_py / max(t_nat, 1e-9):.1f}x)")
+
+    # Overlap: consumer busy ~5 ms/pair (device-step stand-in).
+    def busy(seconds):
+        t_end = time.perf_counter() + seconds
+        while time.perf_counter() < t_end:
+            pass
+
+    t0 = time.perf_counter()
+    for lp, rp in zip(lefts, rights):
+        py_load(lp, rp)
+        busy(0.005)
+    t_py_ov = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with native.PairLoader(lefts, rights, geom.padded_height,
+                           geom.padded_width, num_threads=4) as ld:
+        for _ in ld:
+            busy(0.005)
+    t_nat_ov = time.perf_counter() - t0
+    compute = 0.005 * n
+    log(f"native io overlap (5 ms/pair consumer): python adds "
+        f"{(t_py_ov - compute)*1e3:.1f} ms over compute, native adds "
+        f"{(t_nat_ov - compute)*1e3:.1f} ms "
+        f"({(t_py_ov - compute) / max(t_nat_ov - compute, 1e-9):.1f}x "
+        f"less input latency)")
+
+
 def main():
     pairs = make_pairs(BATCH)
     base = oracle_mpxs(pairs)
@@ -346,6 +424,7 @@ def main():
     parity_gate(pairs)
     sharded_smoke()
     bf16_mpxs(pairs)
+    native_io_row(pairs)
     print(json.dumps({
         "metric": "full_pipeline_throughput_per_chip",
         "value": round(v, 3),

@@ -15,7 +15,19 @@ import numpy as np
 
 
 def load_image(path: str) -> np.ndarray:
-    """Load an image file as a numpy array (uint8 HxW or HxWx3)."""
+    """Load an image file as a numpy array (uint8 HxW or HxWx3).
+
+    PNM files decode through the native C++ codec when it is available
+    (deepmatching_stereo_matching_tpu/native, bit-identical to the
+    Python reader — tests/test_native.py); everything else goes
+    through PIL.
+    """
+    if path.lower().endswith((".pgm", ".ppm", ".pnm")):
+        from .. import native
+
+        if native.available():
+            arr, _maxval = native.read_pnm(path)
+            return arr
     try:
         from PIL import Image
 
@@ -41,8 +53,11 @@ def _load_pnm(path: str) -> np.ndarray:
             vals.extend(int(t) for t in line.split())
         w, h, maxval = vals[:3]
         channels = 3 if magic == b"P6" else 1
-        dtype = np.uint16 if maxval > 255 else np.uint8
+        # 16-bit PNM samples are big-endian on disk.
+        dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
         data = np.frombuffer(f.read(), dtype=dtype, count=w * h * channels)
+        data = data.astype(np.uint16 if maxval > 255 else np.uint8,
+                           copy=False)
     img = data.reshape((h, w, channels) if channels == 3 else (h, w))
     return img
 

@@ -18,7 +18,16 @@ import numpy as np
 
 
 def _to_png(path: str, arr: np.ndarray) -> None:
-    """Write uint8 (H,W) / (H,W,3) or uint16 (H,W) as PNG via PIL."""
+    """Write uint8 (H,W) / (H,W,3) or uint16 (H,W) as PNG.
+
+    Prefers the native C++ encoder (zlib deflate; PIL-decodable, CRCs
+    verified in tests/test_native.py), falling back to PIL.
+    """
+    from .. import native
+
+    if native.available():
+        native.write_png(path, arr)
+        return
     from PIL import Image
 
     Image.fromarray(arr).save(path)

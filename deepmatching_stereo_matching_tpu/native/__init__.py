@@ -100,7 +100,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if err is not None:
             _build_error = err
             return None
-        _lib = _bind(ctypes.CDLL(_LIB))
+        try:
+            _lib = _bind(ctypes.CDLL(_LIB))
+        except OSError as e:
+            # A stale/foreign-ABI .so (or missing runtime dep) must
+            # degrade to the Python fallbacks, not crash the import.
+            _build_error = f"dlopen failed: {e}"
+            return None
         return _lib
 
 

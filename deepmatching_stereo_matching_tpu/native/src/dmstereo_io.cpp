@@ -102,11 +102,21 @@ DMS_API int dms_read_pnm(const char* path, void** data, int* w, int* h,
   long vals[3];
   for (int i = 0; i < 3; ++i) {
     if (!pnm_token(file.f, &tok)) return fail("truncated PNM header");
-    vals[i] = std::strtol(tok.c_str(), nullptr, 10);
-    if (vals[i] <= 0) return fail("bad PNM header value '" + tok + "'");
+    char* end = nullptr;
+    errno = 0;
+    vals[i] = std::strtol(tok.c_str(), &end, 10);
+    if (errno != 0 || end == tok.c_str() || *end != '\0' || vals[i] <= 0) {
+      return fail("bad PNM header value '" + tok + "'");
+    }
   }
   const long W = vals[0], H = vals[1], MAXV = vals[2];
   if (MAXV > 65535) return fail("PNM maxval > 65535");
+  // Dimension caps: reject absurd headers before the W*H*ch
+  // multiplication can overflow or a hostile file can demand the
+  // machine's RAM (1 << 30 pixels = 4 GiB of u8 RGB).
+  if (W > (1L << 20) || H > (1L << 20) || W * H > (1L << 30)) {
+    return fail("PNM dimensions out of range");
+  }
   const int bytes_per = MAXV > 255 ? 2 : 1;
   const size_t count = static_cast<size_t>(W) * H * ch;
   void* buf = std::malloc(count * bytes_per);
@@ -224,7 +234,10 @@ void png_chunk(FILE* f, const char type[4], const uint8_t* payload,
   std::fwrite(hdr, 1, 8, f);
   if (len) std::fwrite(payload, 1, len, f);
   uLong crc = crc32(0L, hdr + 4, 4);
-  crc = crc32(crc, payload, len);
+  // zlib quirk: crc32(crc, Z_NULL, 0) RESETS to the initial value
+  // instead of returning crc, which used to corrupt the (empty) IEND
+  // chunk's CRC and made strict decoders reject every file.
+  if (len) crc = crc32(crc, payload, len);
   uint8_t tail[4] = {
       static_cast<uint8_t>(crc >> 24), static_cast<uint8_t>(crc >> 16),
       static_cast<uint8_t>(crc >> 8), static_cast<uint8_t>(crc)};
@@ -303,9 +316,8 @@ DMS_API int dms_gray_norm_pad(const void* src, int w, int h, int channels,
                               int is_u16, int pw, int ph, float* dst) {
   if (w > pw || h > ph) return fail("padded size smaller than image");
   if (channels != 1 && channels != 3) return fail("channels must be 1 or 3");
-  // Oracle semantics: 8-bit range, true division (reciprocal-multiply
-  // is 1 ulp off numpy's `/ 255.0` and breaks bit-compat).
-  const float den = 255.0f;
+  // Pass 1: grayscale into dst (unnormalised), tracking the max.
+  float maxv = 0.0f;
   for (int r = 0; r < ph; ++r) {
     float* out = dst + static_cast<size_t>(r) * pw;
     if (r >= h) {
@@ -316,33 +328,44 @@ DMS_API int dms_gray_norm_pad(const void* src, int w, int h, int channels,
       if (is_u16) {
         const auto* p = static_cast<const uint16_t*>(src) +
                         static_cast<size_t>(r) * w;
-        for (int c = 0; c < w; ++c) out[c] = p[c] / den;
+        for (int c = 0; c < w; ++c) out[c] = static_cast<float>(p[c]);
       } else {
         const auto* p = static_cast<const uint8_t*>(src) +
                         static_cast<size_t>(r) * w;
-        for (int c = 0; c < w; ++c) out[c] = p[c] / den;
+        for (int c = 0; c < w; ++c) out[c] = static_cast<float>(p[c]);
       }
     } else {
-      // Match numpy: float32(u8) @ [.299,.587,.114], then /255.
+      // Match the oracle's explicit left-to-right f32 sum (built with
+      // -ffp-contract=off so no FMA changes the rounding).
       if (is_u16) {
         const auto* p = static_cast<const uint16_t*>(src) +
                         static_cast<size_t>(r) * w * 3;
         for (int c = 0; c < w; ++c) {
-          const float g = 0.299f * p[3 * c] + 0.587f * p[3 * c + 1] +
-                          0.114f * p[3 * c + 2];
-          out[c] = g / den;
+          out[c] = 0.299f * p[3 * c] + 0.587f * p[3 * c + 1] +
+                   0.114f * p[3 * c + 2];
         }
       } else {
         const auto* p = static_cast<const uint8_t*>(src) +
                         static_cast<size_t>(r) * w * 3;
         for (int c = 0; c < w; ++c) {
-          const float g = 0.299f * p[3 * c] + 0.587f * p[3 * c + 1] +
-                          0.114f * p[3 * c + 2];
-          out[c] = g / den;
+          out[c] = 0.299f * p[3 * c] + 0.587f * p[3 * c + 1] +
+                   0.114f * p[3 * c + 2];
         }
       }
     }
+    for (int c = 0; c < w; ++c) maxv = out[c] > maxv ? out[c] : maxv;
     for (int c = w; c < pw; ++c) out[c] = 0.0f;
+  }
+  // Pass 2: the oracle's range heuristic (reference.py:to_grayscale_f32):
+  // divide by 255 ONLY when the image looks 8-bit-ranged (max > 1.5);
+  // already-[0,1] floats — and all-dark integer images — pass through.
+  // True division, not reciprocal-multiply: x * (1/255.f) is 1 ulp off
+  // numpy's `/ 255.0` on some values and breaks bit-compat.
+  if (maxv > 1.5f) {
+    for (int r = 0; r < h; ++r) {
+      float* out = dst + static_cast<size_t>(r) * pw;
+      for (int c = 0; c < w; ++c) out[c] = out[c] / 255.0f;
+    }
   }
   return 0;
 }
@@ -366,12 +389,14 @@ struct LoaderSlot {
 struct Loader {
   std::vector<std::string> lefts, rights;
   int pw = 0, ph = 0;
+  int max_inflight = 0;  // decoded-but-unconsumed slot budget
   std::vector<LoaderSlot> slots;
   std::vector<std::thread> workers;
   std::mutex mu;
-  std::condition_variable cv;
+  std::condition_variable cv;        // consumer waits for slot ready
+  std::condition_variable cv_space;  // workers wait for prefetch budget
   std::atomic<int> next_job{0};
-  int next_out = 0;
+  int next_out = 0;  // guarded by mu (workers read it for backpressure)
   std::atomic<bool> stop{false};
 
   int load_one(const std::string& path, std::vector<float>* out) {
@@ -391,6 +416,16 @@ struct Loader {
     for (;;) {
       const int i = next_job.fetch_add(1);
       if (i >= static_cast<int>(lefts.size()) || stop.load()) return;
+      {
+        // Backpressure: never hold more than max_inflight decoded,
+        // unconsumed pairs — a long stream's RAM stays bounded at
+        // max_inflight * 2 * pw * ph floats instead of growing with n.
+        std::unique_lock<std::mutex> lock(mu);
+        cv_space.wait(lock, [&] {
+          return stop.load() || i < next_out + max_inflight;
+        });
+        if (stop.load()) return;
+      }
       LoaderSlot local;
       if (load_one(lefts[i], &local.left) != 0 ||
           load_one(rights[i], &local.right) != 0) {
@@ -415,6 +450,7 @@ DMS_API void* dms_loader_create(const char** left_paths,
   auto* ld = new Loader;
   ld->pw = pw;
   ld->ph = ph;
+  ld->max_inflight = std::max(2, 2 * n_threads);
   ld->lefts.reserve(n);
   ld->rights.reserve(n);
   for (int i = 0; i < n; ++i) {
@@ -435,9 +471,10 @@ DMS_API void* dms_loader_create(const char** left_paths,
 DMS_API int dms_loader_next(void* handle, float* dst_left,
                             float* dst_right) {
   auto* ld = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lock(ld->mu);
   if (ld->next_out >= static_cast<int>(ld->slots.size())) return -1;
   const int i = ld->next_out++;
-  std::unique_lock<std::mutex> lock(ld->mu);
+  ld->cv_space.notify_all();  // budget freed for the prefetch workers
   ld->cv.wait(lock, [&] { return ld->slots[i].ready; });
   LoaderSlot& s = ld->slots[i];
   if (s.failed) {
@@ -457,6 +494,10 @@ DMS_API int dms_loader_next(void* handle, float* dst_left,
 DMS_API void dms_loader_destroy(void* handle) {
   auto* ld = static_cast<Loader*>(handle);
   ld->stop.store(true);
+  {
+    std::lock_guard<std::mutex> lock(ld->mu);  // wake backpressure waits
+  }
+  ld->cv_space.notify_all();
   for (auto& t : ld->workers) t.join();
   delete ld;
 }

@@ -80,6 +80,54 @@ def _tree_to_host(tree):
                         multihost_utils.process_allgather(tree, tiled=True))
 
 
+def pairs_from_paths(left_paths: Sequence[str],
+                     right_paths: Sequence[str], cfg: Config,
+                     height: int, width: int,
+                     mesh: Optional[jax.sharding.Mesh] = None,
+                     strategy: str = "tiled",
+                     merge_level: Optional[int] = None,
+                     num_threads: int = 4):
+    """Stream (left, right) pre-padded float32 planes from image files.
+
+    Uses the native C++ prefetch loader (decode + grayscale/normalise/
+    pad on worker threads, overlapping the TPU's previous batch) when
+    it is available and every input is PNM; otherwise falls back to the
+    Python readers.  Both paths emit bit-identical planes
+    (tests/test_native.py) shaped for `strategy`'s padded geometry, so
+    the output feeds `run_stream` directly.
+    """
+    from .. import native
+    from . import mesh as mesh_lib
+
+    if mesh is None:
+        mesh = mesh_lib.auto_mesh()
+    glob = sharded.strategy_geometry(cfg, height, width, mesh, strategy,
+                                     merge_level)
+    pnm = (".pgm", ".ppm", ".pnm")
+    if (native.available()
+            and all(p.lower().endswith(pnm)
+                    for p in list(left_paths) + list(right_paths))):
+        with native.PairLoader(list(left_paths), list(right_paths),
+                               glob.padded_height, glob.padded_width,
+                               num_threads) as loader:
+            for _idx, left, right in loader:
+                yield left, right
+        return
+    from ..io import images
+    from ..oracle import reference as oracle
+
+    for lp, rp in zip(left_paths, right_paths):
+        left, right = images.load_pair(lp, rp)
+        out = []
+        for img in (left, right):
+            g = oracle.to_grayscale_f32(img)
+            plane = np.zeros((glob.padded_height, glob.padded_width),
+                             dtype=np.float32)
+            plane[: g.shape[0], : g.shape[1]] = g
+            out.append(plane)
+        yield out[0], out[1]
+
+
 @dataclasses.dataclass
 class StreamReport:
     """Summary of one `run_stream` call."""

@@ -195,17 +195,12 @@ def match_batch_dslab(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def pad_batch(images, cfg: Config, height: int, width: int, mesh: Mesh,
-              strategy: str = "tiled", merge_level=None):
-    """Grayscale-normalise + pad a batch for the given sharded strategy.
-
-    Returns a (B, Hp, Wp) float32 numpy array whose Hp/Wp satisfy the
-    tile/slab alignment for `mesh` (`merge_level` must match the value
-    later passed to the "wtiled" strategy — it changes the W padding).
-    """
-    import numpy as np
-    from ..oracle import reference as oracle
-
+def strategy_geometry(cfg: Config, height: int, width: int, mesh: Mesh,
+                      strategy: str = "tiled", merge_level=None
+                      ) -> Geometry:
+    """GLOBAL padded geometry required by the given sharded strategy
+    (`merge_level` must match the value later passed to "wtiled" — it
+    changes the W padding)."""
     if strategy == "wtiled":
         glob, _, _ = wtiled.tiled2d_geometry(
             cfg, height, width, mesh.shape["th"], mesh.shape["tw"],
@@ -217,9 +212,31 @@ def pad_batch(images, cfg: Config, height: int, width: int, mesh: Mesh,
         glob, _ = _slab_geometry(cfg, height, width, mesh.shape["model"])
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
+    return glob
+
+
+def pad_batch(images, cfg: Config, height: int, width: int, mesh: Mesh,
+              strategy: str = "tiled", merge_level=None):
+    """Grayscale-normalise + pad a batch for the given sharded strategy.
+
+    Returns a (B, Hp, Wp) float32 numpy array whose Hp/Wp satisfy the
+    tile/slab alignment for `mesh`.  Float32 inputs that already have
+    the exact (Hp, Wp) target shape are taken as pre-padded planes
+    (the native prefetch loader emits these, runner.pairs_from_paths)
+    and copied through untouched.
+    """
+    import numpy as np
+    from ..oracle import reference as oracle
+
+    glob = strategy_geometry(cfg, height, width, mesh, strategy,
+                             merge_level)
     out = np.zeros((len(images), glob.padded_height, glob.padded_width),
                    dtype=np.float32)
     for i, img in enumerate(images):
+        if (img.dtype == np.float32 and img.ndim == 2
+                and img.shape == out.shape[1:]):
+            out[i] = img
+            continue
         g = oracle.to_grayscale_f32(img)
         out[i, : g.shape[0], : g.shape[1]] = g
     return out
