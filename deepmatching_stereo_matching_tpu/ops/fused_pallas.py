@@ -15,8 +15,14 @@ How each stage avoids unsupported vector relayouts:
   * Patch phasing (the stride-p pixel->patch-column relayout that XLA
     otherwise does with a materialised transpose-copy) is done on the
     MXU with 0/1 *selection matmuls*: NL_o = L @ Sel_o where
-    Sel_o[x, q] = (x == p*(q - qh) + o).  A selection matmul is exact
-    in f32 (each output sums one monomial x*1.0 plus exact zeros).
+    Sel_o[x, q] = (x == p*(q - qh) + o).  By default these run as TWO
+    native-speed bf16 passes over a hi+residual split of the image
+    operand (_DOT_PREC="split2", ~2^-16 relative accuracy, measured
+    10.5% faster end-to-end than Mosaic's 6-pass f32 HIGHEST with a
+    8.9e-6 decision-disagreement rate; tools/fused_experiments.py /
+    FUSED_EXPERIMENTS.json); _DOT_PREC="highest" restores the exact
+    6-pass selection (each output then sums one monomial x*1.0 plus
+    exact zeros).
   * Per-row sums over the p patch rows (descriptor norms and the
     cost-volume row reduction) are row-compaction matmuls with
     Cp[i, y] = (y // p == i) — again exact selections plus an f32 MXU
@@ -63,6 +69,78 @@ _EPS = 1e-8
 # pyramid transients dominate); above this the caller must fall back to
 # the two-kernel path.
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+# Experiment knobs (tools/fused_experiments.py measures these on chip;
+# the defaults are the measured winners):
+#   _ROW_SUM: how the p patch-row partial sums reduce — "matmul" uses
+#     the exact 0/1 row-compaction matmul on the MXU, "reshape" a
+#     sublane reshape+sum on the VPU (both exact f32 sums of the same
+#     p terms in the same order).
+#   _BLOCK_ROWS_OVERRIDE: force the grid's patch-rows-per-step.
+#   _DOT_PREC: MXU precision scheme for the selection/compaction
+#     matmuls — "highest" is Mosaic's 6-pass full-precision f32;
+#     "split2"/"split3" decompose the ARBITRARY operand into 2/3 bf16
+#     terms (hi + residual[ + residual²]) against the exact-0/1 other
+#     operand, costing 2/3 native-speed bf16 MXU passes for ~2^-16 /
+#     ~2^-24 relative accuracy (each pass's products are exact-0/1
+#     selections of bf16 terms, accumulated in f32).
+_ROW_SUM = "matmul"
+_BLOCK_ROWS_OVERRIDE = None
+# Measured on chip (FUSED_EXPERIMENTS.json, Middlebury bench geometry):
+#   highest 4.27 ms/step, split3 4.93 ms, split2 3.82 ms (-10.5%),
+#   reshape row-sums 5.64 ms; split2's decision disagreement vs highest
+#   is 8.9e-6 (1 in ~112k patches, near-ties at ~1e-5 score deltas) —
+#   far inside the fused path's documented tolerance and bench.py's
+#   0.5% parity gate.
+_DOT_PREC = "split2"
+
+
+def _split_terms(x: jnp.ndarray, n: int) -> list:
+    """x (f32) as n bf16 terms: x ~= sum(t_i) to ~8n mantissa bits."""
+    terms = []
+    r = x
+    for _ in range(n - 1):
+        h = r.astype(jnp.bfloat16)
+        terms.append(h)
+        r = r - h.astype(jnp.float32)
+    terms.append(r.astype(jnp.bfloat16))
+    return terms
+
+
+def _dot_split(arb: jnp.ndarray, sel: jnp.ndarray, arb_left: bool
+               ) -> jnp.ndarray:
+    """arb @ sel (or sel @ arb) with the split-bf16 scheme of _DOT_PREC.
+
+    `sel` holds exact bf16 values (0/1 selection / compaction weights);
+    `arb` is arbitrary f32.  Each bf16 pass accumulates in f32 on the
+    MXU; the passes sum the split terms back, so accuracy is set by the
+    residual cut (~2^-16 for split2, ~2^-24 for split3), NOT by bf16's
+    2^-8 — measured decision flips vs HIGHEST: 0 at the bench geometry
+    (FUSED_EXPERIMENTS.json).
+    """
+    n = 2 if _DOT_PREC == "split2" else 3
+    s16 = sel.astype(jnp.bfloat16)
+    out = None
+    for t in _split_terms(arb, n):
+        y = (jnp.dot(t, s16, preferred_element_type=jnp.float32)
+             if arb_left else
+             jnp.dot(s16, t, preferred_element_type=jnp.float32))
+        out = y if out is None else out + y
+    return out
+
+
+def _dot_arb_sel(arb: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
+    """Matmul of an arbitrary-f32 LEFT operand with 0/1 selections."""
+    if _DOT_PREC == "highest":
+        return _dot(arb, sel)
+    return _dot_split(arb, sel, arb_left=True)
+
+
+def _dot_sel_arb(sel: jnp.ndarray, arb: jnp.ndarray) -> jnp.ndarray:
+    """Matmul of 0/1 compaction weights with an arbitrary-f32 RIGHT."""
+    if _DOT_PREC == "highest":
+        return _dot(sel, arb)
+    return _dot_split(arb, sel, arb_left=False)
 
 
 def _shift_left(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -114,9 +192,15 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     # Phased columns of both images via exact selection matmuls:
     # NL[o][y, qh + q] = left[y, p*q + o] (0 outside), same for NR.
     sels = [_selection(wp, wn, p, qh, o) for o in range(p)]
-    nl = [_dot(left, s) for s in sels]   # p x (bp, wn)
-    nr = [_dot(right, s) for s in sels]
-    cpt = _row_compaction(bh, bp, p)
+    nl = [_dot_arb_sel(left, s) for s in sels]   # p x (bp, wn)
+    nr = [_dot_arb_sel(right, s) for s in sels]
+    cpt = _row_compaction(bh, bp, p) if _ROW_SUM == "matmul" else None
+
+    def rows(x):
+        """Sum the p patch rows: (bp, n) -> (bh, n)."""
+        if cpt is not None:
+            return _dot_sel_arb(cpt, x)
+        return x.reshape(bh, p, x.shape[-1]).sum(axis=1)
 
     # Left patch norms: nl2[i, j] = sum_{dr,dc} left[p*i+dr, p*j+dc]^2.
     m2 = None
@@ -124,17 +208,17 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
         sq = nl[o][:, qh: qh + w0]
         sq = sq * sq
         m2 = sq if m2 is None else m2 + sq
-    invl = 1.0 / jnp.maximum(jnp.sqrt(_dot(cpt, m2)), _EPS)   # (bh, w0)
+    invl = 1.0 / jnp.maximum(jnp.sqrt(rows(m2)), _EPS)        # (bh, w0)
 
     # Right sliding-window norms on the x0 grid: the target window at
     # x0 spans columns [x0, x0+p) and rows [p*i, p*i+p).
-    r2row = _dot(cpt, right * right)                          # (bh, wp)
+    r2row = rows(right * right)                               # (bh, wp)
     win = r2row
     for dc in range(1, p):
         win = win + _shift_left(r2row, dc)
     nr_x0 = jnp.sqrt(win)                                     # (bh, wp)
     # Phase it like the data so each d's norms are a static lane slice.
-    invr = [1.0 / jnp.maximum(_dot(nr_x0, s), _EPS) for s in sels]
+    invr = [1.0 / jnp.maximum(_dot_arb_sel(nr_x0, s), _EPS) for s in sels]
 
     # Disparity loop (hot loop #1, oracle/reference.py:cost_volume):
     # cost[i, j, d] = relu(<L_ij, R_window(p*j - d)>) / norms, 0 when
@@ -154,7 +238,7 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
             term = (nl[dc][:, qh: qh + w0]
                     * nr[o][:, qh - s: qh - s + w0])
             acc = term if acc is None else acc + term
-        raw = _dot(cpt, acc)                                  # (bh, w0)
+        raw = rows(acc)                                       # (bh, w0)
         s_n = dq + (1 if drem else 0)
         corr = (raw * invl
                 * invr[(-d) % p][:, qh - s_n: qh - s_n + w0])
@@ -175,6 +259,8 @@ def _kernel(l_ref, r_ref, disp_ref, score_ref, *, p: int, d0: int,
 
 def _block_rows(h0: int, unit: int) -> int:
     """Patch rows per grid step: lcm(2**levels, 8), or all of h0."""
+    if _BLOCK_ROWS_OVERRIDE is not None:
+        return _BLOCK_ROWS_OVERRIDE
     bh = unit * 8 // math.gcd(unit, 8)
     return bh if (h0 % bh == 0 and bh < h0) else h0
 
