@@ -40,22 +40,28 @@ def preprocess(image: np.ndarray, cfg: Config, height: int, width: int
 
 
 def match_stereo(left, right, cfg: Config = Config(),
-                 impl: Optional[str] = None) -> MatchResult:
+                 impl: Optional[str] = None,
+                 debug_checks: bool = False) -> MatchResult:
     """Dense disparity for a rectified pair, computed on device.
 
     Accepts uint8/float, grayscale or RGB arrays of equal shape.
     `impl` overrides the ambient implementation ('fused'|'pallas'|'jnp',
-    ops/_dispatch.py) for this call.
+    ops/_dispatch.py) for this call.  `debug_checks` runs the pipeline
+    with on-device checkify invariant guards (finite scores, in-range
+    disparity bins; utils/checks.py) on the jnp path — a sanitizer
+    mode, not for production throughput.
     """
-    left = np.asarray(left)
-    right = np.asarray(right)
-    if left.shape != right.shape:
-        raise ValueError("left/right shapes differ")
+    from .utils import checks
+
+    left, right = checks.validate_images(left, right)
     h, w = left.shape[:2]
     lp = jnp.asarray(preprocess(left, cfg, h, w))
     rp = jnp.asarray(preprocess(right, cfg, h, w))
-    out = pipeline.match_padded(lp, rp, cfg, h, w,
-                                impl or implementation())
+    if debug_checks:
+        out = checks.checked_match_padded(lp, rp, cfg, h, w)
+    else:
+        out = pipeline.match_padded(lp, rp, cfg, h, w,
+                                    impl or implementation())
     return MatchResult(
         disparity=np.asarray(out["disparity"]),
         disparity_raw=np.asarray(out["disparity_raw"], dtype=np.int32),

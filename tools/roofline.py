@@ -141,10 +141,22 @@ def twokernel_model(geom, cfg):
     return {}, vpu, hbm
 
 
+def mxu_rate():
+    """Effective MXU FLOP/s for the fused kernel's configured matmul
+    precision (ops/fused_pallas.py:_DOT_PREC): n split-bf16 passes run
+    at peak/n; HIGHEST is the 6-pass f32 decomposition."""
+    from deepmatching_stereo_matching_tpu.ops import fused_pallas
+
+    passes = {"highest": 6, "split2": 2, "split3": 3}[
+        fused_pallas._DOT_PREC]
+    return MXU_BF16 / passes, f"MXU(bf16x{passes})"
+
+
 def bound(mxu, vpu, hbm):
     """(seconds lower bound, bounding resource name)."""
+    rate, label = mxu_rate()
     t = {
-        "MXU(f32-HIGHEST)": sum(mxu.values()) / MXU_F32_HIGHEST,
+        label: sum(mxu.values()) / rate,
         "VPU": sum(vpu.values()) / VPU,
         "HBM": sum(hbm.values()) / HBM,
     }
