@@ -260,9 +260,13 @@ def sharded_smoke():
     left, right, _ = synthetic.make_pair(h, w, field, seed=3)
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
-    cases = [("wtiled", parallel.make_mesh2d(1, 1, 1), 1),
-             ("dslab", parallel.make_mesh(1, 1), None)]
-    for strategy, mesh, merge_level in cases:
+    # Per-case reference impl: wtiled honours `impl` (its tiles run the
+    # Pallas kernels); dslab/ringd build their cost volumes with the
+    # jnp ops internally.
+    cases = [("wtiled", parallel.make_mesh2d(1, 1, 1), 1, impl),
+             ("dslab", parallel.make_mesh(1, 1), None, "jnp"),
+             ("ringd", parallel.make_mesh(1, 1), None, "jnp")]
+    for strategy, mesh, merge_level, ref_impl in cases:
         lp = sharded.pad_batch([left], cfg, h, w, mesh, strategy,
                                merge_level)
         rp = sharded.pad_batch([right], cfg, h, w, mesh, strategy,
@@ -270,15 +274,30 @@ def sharded_smoke():
         out = sharded.match_batch_sharded(
             jnp.asarray(lp), jnp.asarray(rp), cfg, h, w, mesh, strategy,
             impl, merge_level)
+        # Same impl on both sides: the contract is sharding-invariance
+        # (compiled Pallas on real Mosaic rounds VPU reduces differently
+        # than XLA's jnp path at the last ulp of `score`, which is why
+        # the oracle gate above compares decisions bitwise but scores
+        # at 1e-5).
         ref = pipeline.match_padded(
             jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left),
                                          cfg.geometry(h, w))),
             jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right),
                                          cfg.geometry(h, w))),
-            cfg, h, w, "jnp")
+            cfg, h, w, ref_impl)
         for k in ref:
             a, b = np.asarray(out[k][0]), np.asarray(ref[k])
-            if not np.array_equal(a, b, equal_nan=True):
+            if k == "score":
+                # Decisions are the bitwise contract; scores may differ
+                # in the last ulp across kernel VARIANTS on real Mosaic
+                # (the wtiled merge path runs the row-layout costvol
+                # kernel, unsharded runs the D-major one; their VPU
+                # reduce trees round differently on chip but not in
+                # CPU interpret mode).
+                ok = np.allclose(a, b, rtol=1e-5, atol=1e-6)
+            else:
+                ok = np.array_equal(a, b, equal_nan=True)
+            if not ok:
                 log(f"SHARDED SMOKE FAILURE: {strategy}[{k}] != unsharded")
                 sys.exit(1)
         log(f"sharded smoke [{strategy}]: 1-device mesh on "

@@ -257,12 +257,38 @@ def _kernel(l_ref, r_ref, disp_ref, score_ref, *, p: int, d0: int,
     score_ref[...] = sc
 
 
-def _block_rows(h0: int, unit: int) -> int:
-    """Patch rows per grid step: lcm(2**levels, 8), or all of h0."""
+def _block_rows(h0: int, unit: int, d0: int = 64, w0: int = 128,
+                p: int = 4, qh: int = 17, itemsize: int = 4) -> int:
+    """Patch rows per grid step.
+
+    Bigger blocks raise the selection matmuls' M dimension (M = bh*p
+    rows) toward full 128-row MXU tiles — measured 3.99 -> 3.10 ms/step
+    going from bh=16 (M=64) to bh=48 (M=192) at the bench geometry
+    (FUSED_EXPERIMENTS.json / tools/fused_experiments.py).  Picks the
+    LARGEST bh that (a) divides h0, (b) is a multiple of
+    lcm(2**levels, 8) so pyramid merges stay in-block and Mosaic's
+    sublane tiling holds, (c) keeps bh*p <= 192 pixel rows (M = 384
+    blocks crash the remote compile helper), and (d) fits the VMEM
+    budget.  Falls back to whole-h0 when nothing divides.
+    """
     if _BLOCK_ROWS_OVERRIDE is not None:
         return _BLOCK_ROWS_OVERRIDE
-    bh = unit * 8 // math.gcd(unit, 8)
-    return bh if (h0 % bh == 0 and bh < h0) else h0
+    base = unit * 8 // math.gcd(unit, 8)
+    if itemsize != 4:
+        # bf16 blocks beyond the base size trip a Mosaic relayout bug
+        # in the pyramid's i1 masks ("Invalid relayout: Non-singleton
+        # logical dimension is replicated in destination but not in
+        # source for 'vector<32x48x128xi1>'", v5e, jax 0.9); keep the
+        # small block there.
+        return base if (h0 % base == 0 and base < h0) else h0
+    best = None
+    m = base
+    while m < h0 and m * p <= 192:
+        if h0 % m == 0 and _vmem_estimate(d0, m, w0, p, qh,
+                                          itemsize) <= _VMEM_BUDGET:
+            best = m
+        m += base
+    return best if best is not None else h0
 
 
 def _vmem_estimate(d0: int, bh: int, w0: int, p: int, qh: int,
@@ -286,11 +312,12 @@ def supported(cfg: Config, geom: Geometry) -> bool:
     h0, w0 = geom.grid_h, geom.grid_w
     if w0 % unit or h0 % unit or geom.disparities % unit:
         return False
-    bh = _block_rows(h0, unit)
-    if bh % unit:
-        return False
     itemsize = jnp.dtype(cfg.dtype).itemsize
     qh = (cfg.max_disparity - 1) // cfg.patch_size + 2
+    bh = _block_rows(h0, unit, geom.disparities, w0, cfg.patch_size, qh,
+                     itemsize)
+    if bh % unit:
+        return False
     return _vmem_estimate(geom.disparities, bh, w0, cfg.patch_size, qh,
                           itemsize) <= _VMEM_BUDGET
 
@@ -307,8 +334,9 @@ def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
         raise ValueError(
             f"padded pair {left_p.shape} not aligned to patch {p} / "
             f"quadtree unit {unit}")
-    bh = _block_rows(h0, unit)
     qh = (max_d - 1) // p + 2
+    itemsize_pick = jnp.dtype(dtype).itemsize
+    bh = _block_rows(h0, unit, d0, w0, p, qh, itemsize_pick)
     kernel = functools.partial(_kernel, p=p, d0=d0, max_d=max_d, qh=qh,
                                levels=levels, lam=lam,
                                dtype=jnp.dtype(dtype))

@@ -89,6 +89,18 @@ def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float):
     image->disparity kernel (ops/fused_pallas.py).  Returns
     (disp int32 (bh, wb), score float32 (bh, wb))."""
     dt = cost0.dtype
+
+    def c32(x):
+        """Comparison operand in f32 (exact widening from bf16).
+
+        Mosaic (v5e, jax 0.9) cannot relayout the i1 mask vectors that
+        bf16 comparisons produce inside this kernel ("Invalid relayout:
+        Non-singleton logical dimension is replicated in destination
+        but not in source for 'vector<...xi1>'"); comparing the exact
+        f32 widenings sidesteps the bug without changing any result.
+        """
+        return x.astype(jnp.float32) if dt != jnp.float32 else x
+
     d0, bh, wb = cost0.shape
 
     # Bottom-up aggregation (C5-C7), all levels VMEM-resident, spatial
@@ -107,8 +119,8 @@ def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float):
             lo = jnp.concatenate([neg, odd[:-1]], axis=0)   # d = 2k-1
         pooled = jnp.maximum(jnp.maximum(lo, even), odd)
         # Same tie order as ops/pool.py: lo, then even, then odd.
-        arg = jnp.where(pooled == lo, jnp.int32(-1),
-                        jnp.where(pooled == even, jnp.int32(0),
+        arg = jnp.where(c32(pooled) == c32(lo), jnp.int32(-1),
+                        jnp.where(c32(pooled) == c32(even), jnp.int32(0),
                                   jnp.int32(1)))
         args.append(arg)
         # Quadtree merge in ((q00+q01)+(q10+q11))*0.25 order: w-pairs
@@ -123,7 +135,7 @@ def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float):
     best = cur[0]
     k = jnp.zeros(best.shape, jnp.int32)
     for d in range(1, cur.shape[0]):
-        better = cur[d] > best
+        better = c32(cur[d]) > c32(best)
         best = jnp.where(better, cur[d], best)
         k = jnp.where(better, jnp.int32(d), k)
 

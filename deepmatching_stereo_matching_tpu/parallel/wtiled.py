@@ -374,7 +374,10 @@ def match_batch_tiled2d(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
         }
 
     spec = P("data", "th", "tw")
+    # check_vma=False: see parallel/sharded.py:match_batch_tiled — the
+    # Pallas kernels' out_shapes carry no vma annotation on real TPU.
     out = shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec),
+                    check_vma=False,
                     out_specs=spec)(lefts_p, rights_p)
     return pipeline.apply_postfilter(
         pipeline.crop(out, height, width), cfg)

@@ -89,7 +89,7 @@ def fused_model(geom, cfg):
     from deepmatching_stereo_matching_tpu.ops import fused_pallas
 
     unit = 2 ** geom.levels
-    bh = fused_pallas._block_rows(h0, unit)
+    bh = fused_pallas._block_rows(h0, unit, d0, w0, p, qh, 4)
     bp = bh * p
     nblk = h0 // bh
 
