@@ -128,7 +128,10 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
         dt = jnp.dtype(cfg.dtype)
         desc_src = desc_src.astype(dt)
         desc_tgt = desc_tgt.astype(dt)
-    if impl == "pallas":
+    h0, w0 = desc_src.shape[:2]
+    if impl == "pallas" and pyramid_pallas.fits(
+            geom.disparities, h0, w0, geom.levels,
+            jnp.dtype(cfg.dtype).itemsize):
         # Fused fast path: D-major cost volume feeds the single fused
         # pyramid+backtracking kernel; no (H0, W0, D) volume, level
         # maps, or argmax offsets ever round-trip HBM.
@@ -140,6 +143,18 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
         with jax.named_scope("pyramid_backtrack"):
             return pyramid_pallas.pyramid_backtrack(
                 cost_dm, geom.levels, cfg.lam)
+    if impl == "pallas":
+        # VMEM-oversized volume (pyramid_pallas.fits False, e.g. KITTI
+        # w0=320 D>=128): Pallas cost volume + XLA pyramid/backtrack.
+        with jax.named_scope("costvol"):
+            cost0 = costvol_pallas.cost_volume(
+                desc_src, desc_tgt, geom.disparities, cfg.patch_size,
+                cfg.max_disparity, reverse=reverse,
+                origin_offset=origin_offset)
+        with jax.named_scope("pyramid"):
+            maps, args = build_pyramid(cost0, geom.levels, cfg.lam)
+        with jax.named_scope("backtrack"):
+            return backtrack(maps, args)
     with jax.named_scope("costvol"):
         cost0 = costvol_ops.cost_volume(
             desc_src, desc_tgt, geom.disparities, cfg.patch_size,

@@ -179,6 +179,28 @@ def _pick_blocks(h0: int, w0: int, d: int, unit: int, itemsize: int):
     return bh, wb
 
 
+def fits(d: int, h0: int, w0: int, levels: int, itemsize: int = 4) -> bool:
+    """True when one kernel instance's cost block fits scoped VMEM.
+
+    The kernel needs the FULL disparity axis resident (the pool +
+    backtrack walk all of D), so when W cannot split to a 128-lane-
+    aligned block (e.g. KITTI w0=320 with unit_w=128) the block is
+    d*bh*w0 and large D overflows the ~16 MB scoped-vmem stack
+    (measured: D=128, bh=16, w0=320 f32 demands 23 MB).  Callers fall
+    back to the XLA pyramid (models/pipeline.py) when this is False.
+    """
+    unit = 2 ** levels
+    if h0 % unit or w0 % unit or d % unit:
+        return False
+    bh, wb = _pick_blocks(h0, w0, d, unit, itemsize)
+    # Callers vmap this kernel over pairs x directions, and Mosaic's
+    # scoped-vmem accounting charges the co-resident vmapped instances
+    # together (measured: D=128, bh=16, w0=320 f32 — a 2.6 MB block —
+    # demanded 23 MB under an 8-wide vmap against the 16 MB cap).
+    # 1.5 MB keeps a typical batchx2-direction vmap inside the cap.
+    return d * bh * wb * itemsize <= 1536 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "lam", "interpret"))
 def _pyramid_backtrack(cost_dm: jnp.ndarray, levels: int, lam: float,
                        interpret: bool):

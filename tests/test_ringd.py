@@ -85,6 +85,25 @@ def test_ringd_no_lr_check():
         np.testing.assert_array_equal(np.asarray(got[k]), want[k])
 
 
+def test_ringd_large_d_kitti_class():
+    """D=256 over 8 slabs — the geometry ringd exists for (BASELINE.md
+    KITTI-large-D row); each slab's 32-bin volume pools locally with
+    halo planes only."""
+    global H, W
+    h_saved, w_saved = H, W
+    try:
+        H, W = 48, 384
+        cfg = Config(max_disparity=256, levels=2)
+        mesh = parallel.make_mesh(1, 8)
+        pairs = make_batch(1, 64, seed=13)  # true disparities stay small
+        got = run_ringd(pairs, cfg, mesh)
+        want = unsharded_reference(pairs, cfg)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+    finally:
+        H, W = h_saved, w_saved
+
+
 def test_ringd_single_slab_degenerates():
     """K=1 must equal the unsharded pipeline (no collectives at all)."""
     cfg = Config(max_disparity=16, levels=2)
