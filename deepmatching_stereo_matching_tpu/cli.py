@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "TPU, jnp elsewhere)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="run with on-device checkify invariant guards "
+                        "(sanitizer mode, jnp path; utils/checks.py)")
     p.add_argument("--profile",
                    help="write a jax.profiler trace to this directory")
     # Canonical DeepMatching knobs (SURVEY.md §5.6).
@@ -145,7 +148,8 @@ def main(argv=None) -> int:
             impl = "fused" if jax.default_backend() == "tpu" else "jnp"
         with set_implementation(impl):
             run_meta["impl"] = impl
-            return api.match_stereo(left, right, cfg)
+            return api.match_stereo(left, right, cfg,
+                                    debug_checks=args.debug_checks)
 
     if not args.oracle:
         # Warm up the device->host path before timing: the first

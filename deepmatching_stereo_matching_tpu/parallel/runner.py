@@ -291,7 +291,17 @@ def scaling_sweep(cfg: Config, height: int, width: int,
         if n > len(jax.devices()):
             continue
         n_data = 2 if (n % 2 == 0 and batch_size % 2 == 0 and n > 1) else 1
-        mesh = mesh_lib.make_mesh(n_data, n // n_data)
+        n_model = n // n_data
+        if strategy == "wtiled":
+            # 2-D tile grid: favour a square-ish (th, tw) split.
+            n_th = 1
+            for cand in range(int(n_model ** 0.5), 0, -1):
+                if n_model % cand == 0:
+                    n_th = cand
+                    break
+            mesh = mesh_lib.make_mesh2d(n_data, n_th, n_model // n_th)
+        else:
+            mesh = mesh_lib.make_mesh(n_data, n_model)
         # Warm-up compile outside the timed stream.
         run_stream(pairs[:batch_size], cfg, height, width, mesh,
                    strategy, batch_size, impl, merge_level=merge_level)

@@ -114,3 +114,12 @@ def test_scaling_sweep_reports_efficiency():
     assert [r["devices"] for r in rows] == [1, 4]
     assert rows[0]["scaling_efficiency"] == 1.0
     assert rows[1]["mpx_per_s"] > 0
+
+
+def test_scaling_sweep_wtiled():
+    cfg = Config(max_disparity=D)
+    rows = parallel.scaling_sweep(cfg, H, W, mesh_sizes=(4,),
+                                  batch_size=2, n_batches=1,
+                                  strategy="wtiled", merge_level=1)
+    assert rows and rows[0]["mesh"]["th"] * rows[0]["mesh"]["tw"] == 2
+    assert rows[0]["mpx_per_s"] > 0
