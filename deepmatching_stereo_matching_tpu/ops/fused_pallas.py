@@ -190,10 +190,15 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     wn = w0 + qh
 
     # Phased columns of both images via exact selection matmuls:
-    # NL[o][y, qh + q] = left[y, p*q + o] (0 outside), same for NR.
+    # NR[o][y, qh + q] = right[y, p*q + o] (0 outside); the LEFT image
+    # never needs the qh halo columns (every use below slices
+    # [qh : qh + w0]), so its selections are built at exactly w0 lanes
+    # — one 128-lane MXU tile instead of two at bench geometry, and a
+    # static (unsliced) operand in the disparity loop.
     sels = [_selection(wp, wn, p, qh, o) for o in range(p)]
-    nl = [_dot_arb_sel(left, s) for s in sels]   # p x (bp, wn)
-    nr = [_dot_arb_sel(right, s) for s in sels]
+    lsels = [_selection(wp, w0, p, 0, o) for o in range(p)]
+    nl = [_dot_arb_sel(left, s) for s in lsels]  # p x (bp, w0)
+    nr = [_dot_arb_sel(right, s) for s in sels]  # p x (bp, wn)
     cpt = _row_compaction(bh, bp, p) if _ROW_SUM == "matmul" else None
 
     def rows(x):
@@ -205,8 +210,7 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     # Left patch norms: nl2[i, j] = sum_{dr,dc} left[p*i+dr, p*j+dc]^2.
     m2 = None
     for o in range(p):
-        sq = nl[o][:, qh: qh + w0]
-        sq = sq * sq
+        sq = nl[o] * nl[o]
         m2 = sq if m2 is None else m2 + sq
     invl = 1.0 / jnp.maximum(jnp.sqrt(rows(m2)), _EPS)        # (bh, w0)
 
@@ -235,8 +239,7 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
         for dc in range(p):
             o = (dc - drem) % p
             s = dq + (1 if dc < drem else 0)
-            term = (nl[dc][:, qh: qh + w0]
-                    * nr[o][:, qh - s: qh - s + w0])
+            term = nl[dc] * nr[o][:, qh - s: qh - s + w0]
             acc = term if acc is None else acc + term
         raw = rows(acc)                                       # (bh, w0)
         s_n = dq + (1 if drem else 0)
