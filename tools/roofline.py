@@ -94,7 +94,9 @@ def fused_model(geom, cfg):
     nblk = h0 // bh
 
     mxu = {
-        "sel": 2 * p * 2 * hp * wp * wn,
+        # right selections carry the qh halo (wn lanes); left ones are
+        # halo-free at exactly w0 lanes (fused_pallas narrow-left).
+        "sel": p * 2 * hp * wp * wn + p * 2 * hp * wp * w0,
         "m2c": nblk * 2 * bh * bp * w0,
         "r2": nblk * 2 * bh * bp * wp,
         "invr": p * nblk * 2 * bh * wp * wn,
