@@ -77,10 +77,12 @@ def main():
     results = []
     ref_disp = None
     variants = [
-        # (bh, row_sum, dot_prec)
-        (None, "matmul", "highest"),    # reference first
+        # (bh, row_sum, dot_prec); first row = shipped defaults and the
+        # decision-parity reference for the rest.
+        (None, "matmul", "split2"),     # auto block (48 at bench geom)
+        (16, "matmul", "split2"),       # r01/r02-era block size
+        (None, "matmul", "highest"),    # exact 6-pass f32 matmuls
         (None, "matmul", "split3"),
-        (None, "matmul", "split2"),
         (None, "reshape", "split2"),
     ]
     for bh, rsum, prec in variants:
