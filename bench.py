@@ -133,29 +133,19 @@ def tpu_mpxs(pairs):
     np.asarray(out["disparity"][0, 0, 0])
     log(f"compile+first run: {time.perf_counter() - t0:.1f} s")
 
-    # Steady-state streaming throughput.  On the axon relay backend,
-    # jax.block_until_ready does NOT wait for device completion, so
-    # timing must force completion by FETCHING a scalar that depends on
-    # the last of N enqueued steps (the TPU runs enqueued programs in
-    # order).  The constant relay round-trip (~30 ms) is removed by
-    # differencing two N values (slope method).
-    @jax.jit
-    def probe(o):
-        return o["disparity"][0, 0, 0]
+    # Steady-state streaming throughput via the repo-wide protocol
+    # (utils/timing.py): repeat-measured enqueue slopes, median +
+    # spread.  On the axon relay backend, jax.block_until_ready does
+    # NOT wait for device completion, so the protocol forces completion
+    # by fetching a scalar depending on the last enqueued step.
+    from deepmatching_stereo_matching_tpu.utils import timing
 
-    float(probe(step(ls, rs)))
-    times = []
-    for n in (ITERS // 2, ITERS * 2):
-        t0 = time.perf_counter()
-        outs = [step(ls, rs) for _ in range(n)]
-        float(probe(outs[-1]))
-        times.append((n, time.perf_counter() - t0))
-    (n1, t1), (n2, t2) = times
-    t = (t2 - t1) / (n2 - n1)
-    lat = t1 / n1
+    stats = timing.steady_state(step, (ls, rs),
+                                depths=(ITERS // 2, ITERS * 2))
+    t = stats["median"]
     v = BATCH * H * W * 1e-6 / t
-    log(f"device step: {t * 1e3:.2f} ms steady-state / {lat * 1e3:.2f} ms "
-        f"incl. relay round-trip, for {BATCH} pairs")
+    log(f"device step: {timing.fmt(stats)} steady-state "
+        f"for {BATCH} pairs")
 
     # Quality cross-check on the bench scene (kept-pixel bad rate).
     from deepmatching_stereo_matching_tpu.utils import metrics
@@ -239,10 +229,13 @@ def parity_gate(pairs):
 
 
 def sharded_smoke():
-    """One wtiled + dslab step on a 1-device mesh ON THE CHIP.
+    """One wtiled + dslab + ringd step on a 1-device mesh ON THE CHIP.
 
     Proves the shard_map + Pallas composition lowers through real
     Mosaic (VERDICT.md r2 item 10); bitwise vs the unsharded pipeline.
+    Since r4 the dslab/ringd shard bodies run the Pallas slab cost
+    volume (sharded.slab_cost_volume) when impl='pallas', so this
+    smoke exercises the kernel-speed shard bodies on real Mosaic.
     """
     import jax
     import jax.numpy as jnp
@@ -260,9 +253,10 @@ def sharded_smoke():
     left, right, _ = synthetic.make_pair(h, w, field, seed=3)
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
-    # Per-case reference impl: wtiled honours `impl` (its tiles run the
-    # Pallas kernels); dslab/ringd build their cost volumes with the
-    # jnp ops internally.
+    # Per-case reference impl: scores from the Pallas kernels round
+    # differently at the last ulp than XLA's jnp path on real Mosaic
+    # (decisions stay bitwise), so each case compares against the jnp
+    # unsharded reference with the allclose-score contract below.
     cases = [("wtiled", parallel.make_mesh2d(1, 1, 1), 1, impl),
              ("dslab", parallel.make_mesh(1, 1), None, "jnp"),
              ("ringd", parallel.make_mesh(1, 1), None, "jnp")]
@@ -303,6 +297,33 @@ def sharded_smoke():
         log(f"sharded smoke [{strategy}]: 1-device mesh on "
             f"{jax.default_backend()}, impl={impl}: bitwise OK")
 
+    # Sharded perf row (VERDICT r3 item 5): time one wtiled and one
+    # ringd step at the BENCH geometry on the 1-device chip mesh, so
+    # shard_map overhead vs the unsharded fused path has a number.
+    from deepmatching_stereo_matching_tpu.utils import timing
+
+    bcfg = bench_config()
+    nb = 8
+    rng = np.random.default_rng(11)
+    field = synthetic.block_disparity_field(H, W, MAX_D, rng, block=32)
+    bl, br, _ = synthetic.make_pair(H, W, field, seed=11)
+    for strategy, mesh, merge_level in (
+            ("wtiled", parallel.make_mesh2d(1, 1, 1), 1),
+            ("ringd", parallel.make_mesh(1, 1), None)):
+        lp = jnp.asarray(sharded.pad_batch([bl] * nb, bcfg, H, W, mesh,
+                                           strategy, merge_level))
+        rp = jnp.asarray(sharded.pad_batch([br] * nb, bcfg, H, W, mesh,
+                                           strategy, merge_level))
+
+        def stepf(a, b, _s=strategy, _m=mesh, _ml=merge_level):
+            return sharded.match_batch_sharded(a, b, bcfg, H, W, _m, _s,
+                                               impl, _ml)
+
+        st = timing.steady_state(stepf, (lp, rp), depths=(2, 8))
+        v = nb * H * W * 1e-6 / st["median"]
+        log(f"sharded perf [{strategy}] 1-device mesh, batch {nb}: "
+            f"{timing.fmt(st)}/step = {v:.1f} Mpx/s (impl={impl})")
+
 
 def bf16_mpxs(pairs):
     """Fused-path bf16 throughput + quality row (VERDICT.md r2 item 6)."""
@@ -331,28 +352,19 @@ def bf16_mpxs(pairs):
             lambda a, b: pipeline.match_padded_core(a, b, cfg, geom, impl)
         )(ls, rs)
 
+    from deepmatching_stereo_matching_tpu.utils import timing
+
     ls, rs = jnp.asarray(lp), jnp.asarray(rp)
     out = step(ls, rs)
-
-    @jax.jit
-    def probe(o):
-        return o["disparity"][0, 0, 0]
-
-    float(probe(step(ls, rs)))
-    times = []
-    for n in (ITERS // 2, ITERS * 2):
-        t0 = time.perf_counter()
-        outs = [step(ls, rs) for _ in range(n)]
-        float(probe(outs[-1]))
-        times.append((n, time.perf_counter() - t0))
-    (n1, t1), (n2, t2) = times
-    t = (t2 - t1) / (n2 - n1)
+    stats = timing.steady_state(step, (ls, rs),
+                                depths=(ITERS // 2, ITERS * 2))
+    t = stats["median"]
     v = BATCH * H * W * 1e-6 / t
     disp = np.asarray(out["disparity"])[:, :H, :W]
     rates = [metrics.bad_pixel_rate(disp[i], pairs[i][2],
                                     count_invalid=False)
              for i in range(BATCH)]
-    log(f"bf16 fused: {t * 1e3:.2f} ms/step = {v:.1f} Mpx/s "
+    log(f"bf16 fused: {timing.fmt(stats)}/step = {v:.1f} Mpx/s "
         f"(impl={impl}), mean kept-pixel bad rate "
         f"{float(np.mean(rates)):.4f}")
     return v

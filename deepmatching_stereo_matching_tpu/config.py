@@ -59,6 +59,15 @@ class Config:
         'bfloat16'; f32 is the bit-comparability default, SURVEY.md §7
         hard part 5).
       min_top_disparities: used by automatic level selection.
+      fused_dot_precision: MXU precision scheme of the fused kernel's
+        selection/compaction matmuls (ops/fused_pallas.py).  'split2'
+        (default) runs each matmul as 2 native-speed bf16 passes over a
+        hi+residual split (~2^-16 relative accuracy; measured ~1e-5
+        disparity-decision disagreement vs exact on near-ties, inside
+        bench.py's 0.5% parity gate and ~10% faster end-to-end);
+        'split3' adds a third residual pass (~2^-24); 'highest' restores
+        Mosaic's exact 6-pass f32 matmuls.  Only the fused impl is
+        affected — the two-kernel 'pallas' path is always exact.
       median_filter: odd window size of the post-filter median over the
         final disparity map (C13, SURVEY.md §2.1; 0 disables).  Invalid
         pixels are excluded from each window; the lower median is taken,
@@ -82,6 +91,7 @@ class Config:
     min_score: float = 0.0
     invalid_value: float = float("nan")
     dtype: str = "float32"
+    fused_dot_precision: str = "split2"
     min_top_disparities: int = 4
     median_filter: int = 0
     fill_invalid: bool = False
@@ -99,6 +109,9 @@ class Config:
             raise ValueError(f"unknown descriptor mode: {self.descriptor!r}")
         if self.lr_mode not in ("flip", "direct"):
             raise ValueError(f"unknown lr_mode: {self.lr_mode!r}")
+        if self.fused_dot_precision not in ("split2", "split3", "highest"):
+            raise ValueError(
+                f"unknown fused_dot_precision: {self.fused_dot_precision!r}")
         if self.levels is not None and self.levels < 1:
             raise ValueError("levels must be >= 1")
         if self.median_filter and (self.median_filter < 0

@@ -206,6 +206,51 @@ def cost_volume(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 1))                       # (H0, W0, D)
 
 
+def cost_volume_slab(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
+                     disparities: int, patch_size: int, max_disparity: int,
+                     reverse: bool = False, d_offset=0) -> jnp.ndarray:
+    """Disparity-SLAB Pallas cost volume: global bins [d_offset,
+    d_offset + disparities) with a possibly TRACED d_offset.
+
+    Drop-in for ops/costvol.py:cost_volume(..., d_offset=...) — the form
+    the dslab/ringd sharded strategies use (`d_offset = axis_index *
+    slab` inside shard_map, so one program serves every slab).  The
+    kernel's static per-disparity phase/slice schedule cannot depend on
+    a traced offset, so the slab shift is applied to the TARGET array
+    instead: global bin d = d_offset + d_loc reads target column
+    p*j -+ (d_offset + d_loc), which equals local bin d_loc against the
+    target pre-shifted by d_offset pixels (exact: d_offset is a
+    multiple of p by slab alignment, so the shift is q_off = d_offset/p
+    whole patch columns; shifted-in columns are zeros, which score 0 —
+    the oracle's out-of-range rule).  Bins at global d >= max_disparity
+    are zeroed by a post-mask (exact zeros, as in the jnp path).
+    """
+    h0, w0, c = desc_src.shape
+    wt = desc_tgt.shape[1]
+    p = patch_size
+    if wt % p:
+        raise ValueError(f"target descriptor width {wt} not divisible by {p}")
+    q_off = jnp.asarray(d_offset, jnp.int32) // p
+    zeros = jnp.zeros_like(desc_tgt)
+    if reverse:
+        # x0 = p*j + d_offset + d_loc: shift target LEFT by q_off
+        # patch columns, zero-fill on the right.
+        ext = jnp.concatenate([desc_tgt, zeros], axis=1)
+        shifted = jax.lax.dynamic_slice_in_dim(ext, p * q_off, wt, axis=1)
+    else:
+        # x0 = p*j - d_offset - d_loc: shift target RIGHT by q_off
+        # patch columns, zero-fill on the left (global x0 < 0 -> 0).
+        ext = jnp.concatenate([zeros, desc_tgt], axis=1)
+        shifted = jax.lax.dynamic_slice_in_dim(ext, wt - p * q_off, wt,
+                                               axis=1)
+    vol = cost_volume(desc_src, shifted, disparities, p,
+                      max_disparity=disparities, reverse=reverse)
+    d_glob = (jnp.arange(disparities, dtype=jnp.int32)
+              + jnp.asarray(d_offset, jnp.int32))
+    return jnp.where(d_glob[None, None, :] < max_disparity, vol,
+                     jnp.zeros((), vol.dtype))
+
+
 def cost_volume_dmajor(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
                        disparities: int, patch_size: int, max_disparity: int,
                        reverse: bool = False, origin_offset: int = 0

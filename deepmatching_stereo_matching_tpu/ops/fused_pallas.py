@@ -10,23 +10,31 @@ level-0 cost volume, every pyramid level, the pool-argmax offsets — in
 VMEM.  HBM traffic per pair-direction drops from ~17 MB to ~1.7 MB
 (two image reads + the patch-level disparity/score writes).
 
-How each stage avoids unsupported vector relayouts:
+How each stage avoids unsupported vector relayouts (Mosaic on v5e
+supports neither strided lane slices nor lane-splitting reshapes —
+probed on-chip, both fail):
 
   * Patch phasing (the stride-p pixel->patch-column relayout that XLA
     otherwise does with a materialised transpose-copy) is done on the
-    MXU with 0/1 *selection matmuls*: NL_o = L @ Sel_o where
-    Sel_o[x, q] = (x == p*(q - qh) + o).  By default these run as TWO
-    native-speed bf16 passes over a hi+residual split of the image
-    operand (_DOT_PREC="split2", ~2^-16 relative accuracy, measured
-    10.5% faster end-to-end than Mosaic's 6-pass f32 HIGHEST with a
-    8.9e-6 decision-disagreement rate; tools/fused_experiments.py /
-    FUSED_EXPERIMENTS.json); _DOT_PREC="highest" restores the exact
-    6-pass selection (each output then sums one monomial x*1.0 plus
-    exact zeros).
+    MXU with 0/1 *selection matmuls*, CHUNKED over 128-lane spans of
+    the pixel axis: lanes x in [128c, 128(c+1)) hold exactly the
+    columns q in [32c, 32(c+1)) of ALL p phases (x = p*q + o), so one
+    (128, 128) selection per chunk phases every o at once — p times
+    fewer MXU FLOPs than full-width per-phase selections, bitwise
+    identical (each output sums one selected value plus exact zeros).
+    By default the selections run as TWO native-speed bf16 passes over
+    a hi+residual split of the image operand
+    (Config.fused_dot_precision="split2", ~2^-16 relative accuracy,
+    ~1e-5 decision-disagreement vs exact on near-ties;
+    tools/fused_experiments.py / FUSED_EXPERIMENTS.json);
+    "highest" restores the exact 6-pass selection.
   * Per-row sums over the p patch rows (descriptor norms and the
     cost-volume row reduction) are row-compaction matmuls with
-    Cp[i, y] = (y // p == i) — again exact selections plus an f32 MXU
-    accumulation of p terms.
+    Cp[i, y] = (y // p == i) — exact selections plus an f32 MXU
+    accumulation of p terms.  The disparity loop's compactions (the
+    largest MXU term) are batched _DLOOP_GROUP disparities per matmul
+    so the N dimension fills _DLOOP_GROUP 128-lane tiles per weight
+    load instead of one.
   * The disparity loop reuses the phase decomposition of
     ops/costvol_pallas.py: d = p*dq + dr makes every disparity's target
     window a static lane slice of a phased array, so the inner loop is
@@ -71,28 +79,51 @@ _EPS = 1e-8
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 # Experiment knobs (tools/fused_experiments.py measures these on chip;
-# the defaults are the measured winners):
+# the defaults are the measured winners — FUSED_EXPERIMENTS.json):
 #   _ROW_SUM: how the p patch-row partial sums reduce — "matmul" uses
 #     the exact 0/1 row-compaction matmul on the MXU, "reshape" a
-#     sublane reshape+sum on the VPU (both exact f32 sums of the same
-#     p terms in the same order).
+#     sublane reshape+sum on the VPU (both f32 sums of the same p
+#     terms; the reshape path may round in a different tree order).
+#   _DLOOP_ROWS: row-sum method for the disparity loop specifically
+#     (None follows _ROW_SUM); "group" batches _DLOOP_GROUP
+#     disparities' compactions into one matmul.
+#   _PHASING: "chunk" = 128-lane-chunked all-phase selection matmuls
+#     (default; p x fewer FLOPs); "selmm" = one full-width selection
+#     matmul per phase (the r03 formulation, kept as a control arm).
 #   _BLOCK_ROWS_OVERRIDE: force the grid's patch-rows-per-step.
-#   _DOT_PREC: MXU precision scheme for the selection/compaction
-#     matmuls — "highest" is Mosaic's 6-pass full-precision f32;
+#   _DOT_PREC: override Config.fused_dot_precision (None = use cfg) —
+#     "highest" is Mosaic's 6-pass full-precision f32;
 #     "split2"/"split3" decompose the ARBITRARY operand into 2/3 bf16
 #     terms (hi + residual[ + residual²]) against the exact-0/1 other
 #     operand, costing 2/3 native-speed bf16 MXU passes for ~2^-16 /
 #     ~2^-24 relative accuracy (each pass's products are exact-0/1
 #     selections of bf16 terms, accumulated in f32).
+#   _SKIP_PYRAMID: ablation only — replace the pyramid/backtracking
+#     stage with a trivial reduction so the prologue+disparity-loop
+#     cost can be timed in isolation (tools/fused_experiments.py).
 _ROW_SUM = "matmul"
+_DLOOP_ROWS = "group"
+_DLOOP_GROUP = 8
+_PHASING = "chunk"
 _BLOCK_ROWS_OVERRIDE = None
-# Measured on chip (FUSED_EXPERIMENTS.json, Middlebury bench geometry):
-#   highest 4.27 ms/step, split3 4.93 ms, split2 3.82 ms (-10.5%),
-#   reshape row-sums 5.64 ms; split2's decision disagreement vs highest
-#   is 8.9e-6 (1 in ~112k patches, near-ties at ~1e-5 score deltas) —
-#   far inside the fused path's documented tolerance and bench.py's
-#   0.5% parity gate.
-_DOT_PREC = "split2"
+_DOT_PREC = None
+_SKIP_PYRAMID = False
+# Ablation-only knobs (WRONG RESULTS when set; timing isolation for
+# tools/ablate_fused.py): _ABL_FIXED_SLICE pins every disparity-loop
+# lane slice to offset 0 (isolates lane-rotation cost);
+# _ABL_LIVE_D truncates the disparity loop to its first N planes.
+_ABL_FIXED_SLICE = False
+_ABL_LIVE_D = None
+# Fast pyramid mode: defer power rectification past each next level's
+# disparity pool (exact-math-equal, 2x fewer rectified planes, top
+# rectification skipped; exp2-based pow).  Values round differently
+# from jnp.power, so this stays inside the fused path's tolerance gate.
+_PYR_FAST = True
+
+
+def dot_precision(cfg: Config) -> str:
+    """Effective selection-matmul precision scheme for `cfg`."""
+    return _DOT_PREC or cfg.fused_dot_precision
 
 
 def _split_terms(x: jnp.ndarray, n: int) -> list:
@@ -107,18 +138,18 @@ def _split_terms(x: jnp.ndarray, n: int) -> list:
     return terms
 
 
-def _dot_split(arb: jnp.ndarray, sel: jnp.ndarray, arb_left: bool
-               ) -> jnp.ndarray:
-    """arb @ sel (or sel @ arb) with the split-bf16 scheme of _DOT_PREC.
+def _dot_split(arb: jnp.ndarray, sel: jnp.ndarray, arb_left: bool,
+               prec: str) -> jnp.ndarray:
+    """arb @ sel (or sel @ arb) with the split-bf16 scheme `prec`.
 
     `sel` holds exact bf16 values (0/1 selection / compaction weights);
     `arb` is arbitrary f32.  Each bf16 pass accumulates in f32 on the
     MXU; the passes sum the split terms back, so accuracy is set by the
     residual cut (~2^-16 for split2, ~2^-24 for split3), NOT by bf16's
-    2^-8 — measured decision flips vs HIGHEST: 0 at the bench geometry
-    (FUSED_EXPERIMENTS.json).
+    2^-8 — measured decision flips vs HIGHEST: ~1e-5 at the bench
+    geometry (FUSED_EXPERIMENTS.json).
     """
-    n = 2 if _DOT_PREC == "split2" else 3
+    n = 2 if prec == "split2" else 3
     s16 = sel.astype(jnp.bfloat16)
     out = None
     for t in _split_terms(arb, n):
@@ -129,18 +160,20 @@ def _dot_split(arb: jnp.ndarray, sel: jnp.ndarray, arb_left: bool
     return out
 
 
-def _dot_arb_sel(arb: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
+def _dot_arb_sel(arb: jnp.ndarray, sel: jnp.ndarray, prec: str
+                 ) -> jnp.ndarray:
     """Matmul of an arbitrary-f32 LEFT operand with 0/1 selections."""
-    if _DOT_PREC == "highest":
+    if prec == "highest":
         return _dot(arb, sel)
-    return _dot_split(arb, sel, arb_left=True)
+    return _dot_split(arb, sel, True, prec)
 
 
-def _dot_sel_arb(sel: jnp.ndarray, arb: jnp.ndarray) -> jnp.ndarray:
+def _dot_sel_arb(sel: jnp.ndarray, arb: jnp.ndarray, prec: str
+                 ) -> jnp.ndarray:
     """Matmul of 0/1 compaction weights with an arbitrary-f32 RIGHT."""
-    if _DOT_PREC == "highest":
+    if prec == "highest":
         return _dot(sel, arb)
-    return _dot_split(arb, sel, arb_left=False)
+    return _dot_split(arb, sel, False, prec)
 
 
 def _shift_left(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -182,29 +215,143 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def _phase_all(img: jnp.ndarray, p: int, prec: str) -> list:
+    """All p phases of `img` ((m, wp) -> p x (m, wp//p)), on the MXU.
+
+    out[o][y, q] = img[y, p*q + o].  When the pixel width is a multiple
+    of the 128-lane tile, lanes x in [128c, 128(c+1)) hold exactly the
+    columns q in [qper*c, qper*(c+1)) of every phase (x = p*q + o with
+    qper = 128//p), so ONE (128, 128) selection matmul per chunk
+    produces all p phases' columns for that span — p x fewer MXU FLOPs
+    than per-phase full-width selections, and bitwise identical (each
+    output element sums one selected value plus exact zeros, in any
+    accumulation order).  Falls back to full-width per-phase selections
+    for unaligned widths or under the "selmm" experiment knob.
+    """
+    m, wp = img.shape
+    w0 = wp // p
+    ch = 128
+    if _PHASING == "selmm" or wp % ch or ch % p:
+        return [_dot_arb_sel(img, _selection(wp, w0, p, 0, o), prec)
+                for o in range(p)]
+    qper = ch // p
+    nchunk = wp // ch
+    ix = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
+    # Column iq encodes (o, q_local) = (iq // qper, iq % qper).
+    sel = (ix == p * (iq % qper) + iq // qper).astype(jnp.float32)
+    outs = [_dot_arb_sel(img[:, c * ch:(c + 1) * ch], sel, prec)
+            for c in range(nchunk)]
+    return [jax.lax.concatenate(
+        [o_[:, o * qper:(o + 1) * qper] for o_ in outs], 1)
+        for o in range(p)]
+
+
+def _with_halo(phase: jnp.ndarray, qh: int) -> jnp.ndarray:
+    """Prepend qh zero columns (the out-of-image target halo)."""
+    m = phase.shape[0]
+    return jax.lax.concatenate(
+        [jnp.zeros((m, qh), phase.dtype), phase], 1)
+
+
+def _row_selection(bh: int, bp: int, p: int, dr: int) -> jnp.ndarray:
+    """RSel[i, y] = 1.0 where y == p*i + dr ((bh, bp) 0/1 f32)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bh, bp), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (bh, bp), 1)
+    return (iy == p * ii + dr).astype(jnp.float32)
+
+
+def _cost_block_rowphase(left: jnp.ndarray, right: jnp.ndarray, *, p: int,
+                         d0: int, max_d: int, qh: int, prec: str,
+                         dtype) -> jnp.ndarray:
+    """Row-phased `_cost_block`: no per-disparity compaction matmuls.
+
+    The lane-phased formulation's disparity loop is MXU-cycle-bound on
+    the per-disparity row-compaction matmuls (K = bh*p to sum p values
+    per output — 98% of the MACs multiply zeros; measured ~2/3 of the
+    cost stage, ABLATE_FUSED.json).  Here both images are additionally
+    split by pixel-ROW phase dr (left[p*i + dr, :]) with p row-selection
+    matmuls per image — ONCE per block — so every descriptor element
+    (dr, dc) lives in its own (bh, w0) plane and the disparity loop is
+    a pure VPU multiply-accumulate over the p*p planes with NO row
+    reduction afterwards.  The p-row sum happens in the accumulator
+    chain (dc-major, dr-minor order; f32 rounding therefore differs
+    from the oracle's dot order within the fused path's documented
+    ~1e-6 score tolerance).
+    """
+    bp, wp = left.shape
+    bh, w0 = bp // p, wp // p
+    rsels = [_row_selection(bh, bp, p, dr) for dr in range(p)]
+    lr = [_dot_sel_arb(rs, left, prec) for rs in rsels]   # p x (bh, wp)
+    rr = [_dot_sel_arb(rs, right, prec) for rs in rsels]
+    nl = [_phase_all(x, p, prec) for x in lr]             # p x p x (bh, w0)
+    nr = [[_with_halo(ph, qh) for ph in _phase_all(x, p, prec)]
+          for x in rr]                                    # p x p x (bh, wn)
+
+    # Left patch norms, directly at patch-row granularity.
+    m2 = None
+    for dr in range(p):
+        for dc in range(p):
+            sq = nl[dr][dc] * nl[dr][dc]
+            m2 = sq if m2 is None else m2 + sq
+    invl = 1.0 / jnp.maximum(jnp.sqrt(m2), _EPS)          # (bh, w0)
+
+    # Right sliding-window norms on the x0 grid.
+    r2row = None
+    for dr in range(p):
+        sq = rr[dr] * rr[dr]
+        r2row = sq if r2row is None else r2row + sq       # (bh, wp)
+    win = r2row
+    for dc in range(1, p):
+        win = win + _shift_left(r2row, dc)
+    nr_x0 = jnp.sqrt(win)
+    invr = [1.0 / jnp.maximum(_with_halo(ph, qh), _EPS)
+            for ph in _phase_all(nr_x0, p, prec)]
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bh, w0), 1)
+    zero_plane = jnp.zeros((bh, w0), dtype=dtype)
+
+    def cost_for(d):
+        dq, drem = divmod(d, p)
+        acc = None
+        for dc in range(p):
+            o = (dc - drem) % p
+            s = dq + (1 if dc < drem else 0)
+            a = 0 if _ABL_FIXED_SLICE else qh - s
+            for dr in range(p):
+                term = nl[dr][dc] * nr[dr][o][:, a: a + w0]
+                acc = term if acc is None else acc + term
+        s_n = dq + (1 if drem else 0)
+        a = 0 if _ABL_FIXED_SLICE else qh - s_n
+        corr = acc * invl * invr[(-d) % p][:, a: a + w0]
+        c = jnp.where(jj * p >= d, jnp.maximum(corr, 0.0), 0.0)
+        return c.astype(dtype)
+
+    live = min(d0, max_d)
+    if _ABL_LIVE_D is not None:
+        live = min(live, _ABL_LIVE_D)
+    costs = [cost_for(d) if d < live else zero_plane for d in range(d0)]
+    return jnp.stack(costs, axis=0)                       # (d0, bh, w0)
+
+
 def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
-                max_d: int, qh: int, dtype) -> jnp.ndarray:
+                max_d: int, qh: int, prec: str, dtype) -> jnp.ndarray:
     """(bp, Wp) f32 image row blocks -> (d0, bp//p, Wp//p) cost block."""
     bp, wp = left.shape
     bh, w0 = bp // p, wp // p
-    wn = w0 + qh
 
     # Phased columns of both images via exact selection matmuls:
-    # NR[o][y, qh + q] = right[y, p*q + o] (0 outside); the LEFT image
-    # never needs the qh halo columns (every use below slices
-    # [qh : qh + w0]), so its selections are built at exactly w0 lanes
-    # — one 128-lane MXU tile instead of two at bench geometry, and a
-    # static (unsliced) operand in the disparity loop.
-    sels = [_selection(wp, wn, p, qh, o) for o in range(p)]
-    lsels = [_selection(wp, w0, p, 0, o) for o in range(p)]
-    nl = [_dot_arb_sel(left, s) for s in lsels]  # p x (bp, w0)
-    nr = [_dot_arb_sel(right, s) for s in sels]  # p x (bp, wn)
+    # NR[o][y, qh + q] = right[y, p*q + o] (0 in the qh-column halo —
+    # targets left of the image); the LEFT image never needs the halo
+    # (every use below slices [qh : qh + w0]).
+    nl = _phase_all(left, p, prec)                  # p x (bp, w0)
+    nr = [_with_halo(ph, qh) for ph in _phase_all(right, p, prec)]
     cpt = _row_compaction(bh, bp, p) if _ROW_SUM == "matmul" else None
 
     def rows(x):
         """Sum the p patch rows: (bp, n) -> (bh, n)."""
         if cpt is not None:
-            return _dot_sel_arb(cpt, x)
+            return _dot_sel_arb(cpt, x, prec)
         return x.reshape(bh, p, x.shape[-1]).sum(axis=1)
 
     # Left patch norms: nl2[i, j] = sum_{dr,dc} left[p*i+dr, p*j+dc]^2.
@@ -222,40 +369,103 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
         win = win + _shift_left(r2row, dc)
     nr_x0 = jnp.sqrt(win)                                     # (bh, wp)
     # Phase it like the data so each d's norms are a static lane slice.
-    invr = [1.0 / jnp.maximum(_dot_arb_sel(nr_x0, s), _EPS) for s in sels]
+    invr = [1.0 / jnp.maximum(_with_halo(ph, qh), _EPS)
+            for ph in _phase_all(nr_x0, p, prec)]
 
     # Disparity loop (hot loop #1, oracle/reference.py:cost_volume):
     # cost[i, j, d] = relu(<L_ij, R_window(p*j - d)>) / norms, 0 when
     # the window starts left of the image or d >= max_disparity.
+    dloop_rows = _DLOOP_ROWS or _ROW_SUM
     jj = jax.lax.broadcasted_iota(jnp.int32, (bh, w0), 1)
     zero_plane = jnp.zeros((bh, w0), dtype=dtype)
-    costs = []
-    for d in range(d0):
-        if d >= max_d:
-            costs.append(zero_plane)
-            continue
+
+    # Shifted-window memo: the d-loop needs nr[o] at lane offsets
+    # qh - s for s in [0, max_dq + 1] — only p * (max_dq + 2) DISTINCT
+    # windows across the whole loop, but naively slicing inside the
+    # loop materialises p per disparity (4x more).  Lane slices at
+    # non-128-multiple offsets are vreg funnel shifts — measured ~75%
+    # of the cost stage's time at the bench geometry (ABLATE_FUSED.json
+    # fixed-slice arm) — so each distinct window is cut exactly once
+    # and reused via this memo (Mosaic liveness is SSA-based, so the
+    # Python dict does not extend VMEM lifetimes).
+    sh_memo, shi_memo = {}, {}
+
+    def sh(o, s):
+        if (o, s) not in sh_memo:
+            a = 0 if _ABL_FIXED_SLICE else qh - s
+            sh_memo[(o, s)] = nr[o][:, a: a + w0]
+        return sh_memo[(o, s)]
+
+    def shi(o, s):
+        if (o, s) not in shi_memo:
+            a = 0 if _ABL_FIXED_SLICE else qh - s
+            shi_memo[(o, s)] = invr[o][:, a: a + w0]
+        return shi_memo[(o, s)]
+
+    def acc_for(d):
+        """Unreduced (bp, w0) sum of the p phase products for `d`."""
         dq, drem = divmod(d, p)
         acc = None
         for dc in range(p):
             o = (dc - drem) % p
             s = dq + (1 if dc < drem else 0)
-            term = nl[dc] * nr[o][:, qh - s: qh - s + w0]
+            term = nl[dc] * sh(o, s)
             acc = term if acc is None else acc + term
-        raw = rows(acc)                                       # (bh, w0)
+        return acc
+
+    def scale(raw, d):
+        """(bh, w0) row-reduced correlations -> masked cost plane."""
+        dq, drem = divmod(d, p)
         s_n = dq + (1 if drem else 0)
-        corr = (raw * invl
-                * invr[(-d) % p][:, qh - s_n: qh - s_n + w0])
+        corr = raw * invl * shi((-d) % p, s_n)
         c = jnp.where(jj * p >= d, jnp.maximum(corr, 0.0), 0.0)
-        costs.append(c.astype(dtype))
+        return c.astype(dtype)
+
+    live = list(range(min(d0, max_d)))
+    if _ABL_LIVE_D is not None:
+        live = live[:_ABL_LIVE_D]
+    if dloop_rows == "group" and cpt is not None:
+        # Batch the row compactions: one (bh, bp) @ (bp, G*w0) matmul
+        # covers G disparities, filling G 128-lane N tiles per weight
+        # load instead of one.
+        g = _DLOOP_GROUP
+        raws = {}
+        for g0 in range(0, len(live), g):
+            grp = live[g0:g0 + g]
+            cat = jax.lax.concatenate([acc_for(d) for d in grp], 1)
+            r = _dot_sel_arb(cpt, cat, prec)                  # (bh, G*w0)
+            for i, d in enumerate(grp):
+                raws[d] = r[:, i * w0:(i + 1) * w0]
+        costs = [scale(raws[d], d) if d in raws else zero_plane
+                 for d in range(d0)]
+    else:
+        def red(x):
+            if dloop_rows == "matmul" and cpt is not None:
+                return _dot_sel_arb(cpt, x, prec)
+            return x.reshape(bh, p, w0).sum(axis=1)
+
+        on = set(live)
+        costs = [scale(red(acc_for(d)), d) if d in on else zero_plane
+                 for d in range(d0)]
 
     return jnp.stack(costs, axis=0)                           # (d0, bh, w0)
 
 
 def _kernel(l_ref, r_ref, disp_ref, score_ref, *, p: int, d0: int,
-            max_d: int, qh: int, levels: int, lam: float, dtype):
-    cost0 = _cost_block(l_ref[...], r_ref[...], p=p, d0=d0, max_d=max_d,
-                        qh=qh, dtype=dtype)
-    k, sc = pyramid_pallas.pyramid_body(cost0, levels, lam)
+            max_d: int, qh: int, levels: int, lam: float, prec: str,
+            dtype):
+    block = (_cost_block_rowphase if _PHASING == "rowphase"
+             else _cost_block)
+    cost0 = block(l_ref[...], r_ref[...], p=p, d0=d0, max_d=max_d,
+                  qh=qh, prec=prec, dtype=dtype)
+    if _SKIP_PYRAMID:
+        # Ablation arm: consume the volume with a trivial reduce so the
+        # prologue + disparity loop can be timed without the pyramid.
+        disp_ref[...] = jnp.zeros(cost0.shape[1:], jnp.int32)
+        score_ref[...] = jnp.sum(cost0, axis=0).astype(jnp.float32)
+        return
+    k, sc = pyramid_pallas.pyramid_body(cost0, levels, lam,
+                                        fast=_PYR_FAST)
     disp_ref[...] = k
     score_ref[...] = sc
 
@@ -265,21 +475,18 @@ def _block_rows(h0: int, unit: int, d0: int = 64, w0: int = 128,
     """Patch rows per grid step.
 
     Bigger blocks raise the selection matmuls' M dimension (M = bh*p
-    rows) toward full 128-row MXU tiles — measured 3.99 -> 3.10 ms/step
-    going from bh=16 (M=64) to bh=48 (M=192) at the bench geometry
-    (FUSED_EXPERIMENTS.json / tools/fused_experiments.py).  Picks the
-    LARGEST bh that (a) divides h0, (b) is a multiple of
-    lcm(2**levels, 8) so pyramid merges stay in-block and Mosaic's
-    sublane tiling holds, (c) keeps bh*p <= 192 pixel rows (M = 384
-    blocks crash the remote compile helper), and (d) fits the VMEM
-    budget.  Falls back to whole-h0 when nothing divides.
+    rows) toward full 128-row MXU tiles (measured: bh=16 and bh=48 are
+    within noise of each other on the current kernel, bh=48 fewer grid
+    steps — FUSED_EXPERIMENTS.json).  Picks the LARGEST bh that (a)
+    divides h0, (b) is a multiple of lcm(2**levels, 8) so pyramid
+    merges stay in-block and Mosaic's sublane tiling holds, (c) keeps
+    bh*p <= 192 pixel rows (M = 384 blocks crash the remote compile
+    helper), and (d) fits the VMEM budget.  Falls back to whole-h0
+    when nothing divides.
     """
     if _BLOCK_ROWS_OVERRIDE is not None:
         return _BLOCK_ROWS_OVERRIDE
     base = unit * 8 // math.gcd(unit, 8)
-    # (bf16 blocks used to trip a Mosaic i1-relayout bug at any size;
-    # pyramid_pallas.pyramid_body's c32 comparison widening fixed it —
-    # measured bf16 bh=48 compiles and runs at 4.74 ms/step.)
     best = None
     m = base
     while m < h0 and m * p <= 192:
@@ -322,9 +529,10 @@ def supported(cfg: Config, geom: Geometry) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("p", "d0", "max_d", "levels",
-                                             "lam", "dtype", "interpret"))
+                                             "lam", "prec", "dtype",
+                                             "interpret"))
 def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
-                max_d: int, levels: int, lam: float, dtype: str,
+                max_d: int, levels: int, lam: float, prec: str, dtype: str,
                 interpret: bool):
     hp, wp = left_p.shape
     h0, w0 = hp // p, wp // p
@@ -337,7 +545,7 @@ def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
     itemsize_pick = jnp.dtype(dtype).itemsize
     bh = _block_rows(h0, unit, d0, w0, p, qh, itemsize_pick)
     kernel = functools.partial(_kernel, p=p, d0=d0, max_d=max_d, qh=qh,
-                               levels=levels, lam=lam,
+                               levels=levels, lam=lam, prec=prec,
                                dtype=jnp.dtype(dtype))
     in_spec = pl.BlockSpec((bh * p, wp), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -371,5 +579,5 @@ def match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
     callers must check `supported(cfg, geom)` first.
     """
     return _match_rows(left_p, right_p, cfg.patch_size, geom.disparities,
-                       cfg.max_disparity, geom.levels, cfg.lam, cfg.dtype,
-                       use_interpret())
+                       cfg.max_disparity, geom.levels, cfg.lam,
+                       dot_precision(cfg), cfg.dtype, use_interpret())

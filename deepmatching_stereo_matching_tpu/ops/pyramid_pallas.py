@@ -50,6 +50,25 @@ from ._dispatch import use_interpret
 # offsets, and transients add ~2x on top.
 _BLOCK_BYTES = 2 * 1024 * 1024
 
+# Experiment knob (tools/ablate_fused.py): implementation of the
+# power rectification x -> x**lam in FAST mode.  "pow" is jnp.power;
+# "exp2" computes exp2(lam*log2(x)) (exact-math-equal on x >= 0 with
+# 0 -> 0, rounds differently); "square" replaces it with x*x (WRONG
+# results — timing ablation that bounds the transcendental share).
+_POW_IMPL = "exp2"
+
+
+def _rectify(m, lam, dt, fast):
+    if fast and _POW_IMPL == "square":
+        return m * m
+    if fast and _POW_IMPL == "exp2":
+        # m >= 0 always (relu-clamped correlations summed); log2(0) =
+        # -inf -> exp2(-inf) = 0, so the zero cost planes stay exact.
+        # Always in f32: Mosaic cannot legalize bf16 math.log/exp.
+        x = m.astype(jnp.float32)
+        return jnp.exp2(jnp.float32(lam) * jnp.log2(x)).astype(dt)
+    return jnp.power(m, jnp.asarray(lam, dt))
+
 
 def _shift_up(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
     """y[i] = x[i + s] along axis (wrap values are never selected)."""
@@ -83,11 +102,22 @@ def _pair_sum(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
     return jnp.where(left, x + sib_r, sib_l + x)
 
 
-def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float):
+def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float,
+                 fast: bool = False):
     """Bottom-up aggregation + dense backtracking on a VMEM-resident
     (D, bh, wb) cost block; shared by this kernel and the fully fused
     image->disparity kernel (ops/fused_pallas.py).  Returns
-    (disp int32 (bh, wb), score float32 (bh, wb))."""
+    (disp int32 (bh, wb), score float32 (bh, wb)).
+
+    fast=False is bit-identical to the oracle (this kernel's contract).
+    fast=True defers each level's power rectification past the NEXT
+    level's disparity pool: max commutes exactly with the monotone
+    x**lam (also in f32), so pooling the pre-pow values and rectifying
+    the POOLED maps computes the same pyramid with 2x fewer rectified
+    planes — and the top level needs no rectification at all (argmax of
+    a monotone function).  Rectified values use the exp2-based _POW_IMPL
+    which rounds differently from jnp.power, so fast mode is reserved
+    for the tolerance-gated fused kernel (bench.py parity gate)."""
     dt = cost0.dtype
 
     def c32(x):
@@ -118,17 +148,27 @@ def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float):
         else:
             lo = jnp.concatenate([neg, odd[:-1]], axis=0)   # d = 2k-1
         pooled = jnp.maximum(jnp.maximum(lo, even), odd)
-        # Same tie order as ops/pool.py: lo, then even, then odd.
+        # Same tie order as ops/pool.py: lo, then even, then odd.  In
+        # fast mode `cur` holds pre-rectification values for lvl >= 1;
+        # max/compare select the same winners (monotone map).
         arg = jnp.where(c32(pooled) == c32(lo), jnp.int32(-1),
                         jnp.where(c32(pooled) == c32(even), jnp.int32(0),
                                   jnp.int32(1)))
         args.append(arg)
+        if fast and lvl > 0:
+            # Deferred rectification of the PREVIOUS level's merge,
+            # applied post-pool (half the planes).
+            pooled = _rectify(pooled, lam, dt, True)
         # Quadtree merge in ((q00+q01)+(q10+q11))*0.25 order: w-pairs
         # first, then h-pairs, on duplicated cells of size 2**lvl.
         s = 2 ** lvl
         b = _pair_sum(pooled, s, axis=2)
         m = _pair_sum(b, s, axis=1)
-        cur = jnp.power(m * jnp.asarray(0.25, dt), jnp.asarray(lam, dt))
+        scaled = m * jnp.asarray(0.25, dt)
+        # In fast mode the rectification is deferred to the next
+        # level's pool (or skipped entirely at the top: argmax of a
+        # monotone function needs no rectification).
+        cur = scaled if fast else _rectify(scaled, lam, dt, False)
 
     # Top-level argmax, first-max (smallest d) tie rule; cur is the top
     # map, duplicated over 2**levels cells, so k is born full-res.

@@ -50,7 +50,6 @@ from jax import shard_map
 
 from ..config import Config, Geometry
 from ..models import descriptors, pipeline
-from ..ops import costvol as costvol_ops
 from ..ops import pool as pool_ops
 
 
@@ -85,7 +84,8 @@ def _ring_argmax(val: jnp.ndarray, k: jnp.ndarray, axis: str, n: int
 
 
 def _ringd_direction(srcs: jnp.ndarray, tgts: jnp.ndarray, cfg: Config,
-                     geom: Geometry, n_slab: int, reverse: bool
+                     geom: Geometry, n_slab: int, reverse: bool,
+                     impl: str = "jnp"
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched one-direction match with a D-sharded pyramid.
 
@@ -98,14 +98,16 @@ def _ringd_direction(srcs: jnp.ndarray, tgts: jnp.ndarray, cfg: Config,
     ax = jax.lax.axis_index("model")
     d_lo = ax * d_local
 
+    from . import sharded
+
     desc_src = jax.vmap(
         lambda x: descriptors.left_descriptors(x, cfg))(srcs)
     desc_tgt = jax.vmap(
         lambda x: descriptors.right_sliding_descriptors(x, cfg))(tgts)
     cost = jax.vmap(
-        lambda s, t: costvol_ops.cost_volume(
-            s, t, d_local, cfg.patch_size, cfg.max_disparity,
-            reverse=reverse, d_offset=d_lo))(desc_src, desc_tgt)
+        lambda s, t: sharded.slab_cost_volume(
+            s, t, cfg, d_local, d_lo, reverse, impl)
+    )(desc_src, desc_tgt)
 
     def per_pair(cost0):                        # (H0, W0, Dl)
         args = []
@@ -145,7 +147,8 @@ def _ringd_direction(srcs: jnp.ndarray, tgts: jnp.ndarray, cfg: Config,
 
 
 def match_batch_ringd(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
-                      cfg: Config, height: int, width: int, mesh: Mesh
+                      cfg: Config, height: int, width: int, mesh: Mesh,
+                      impl: str = "jnp", debug_checks: bool = False
                       ) -> Dict[str, jnp.ndarray]:
     """Batched pipeline; cost volume D-sharded through the whole pyramid.
 
@@ -153,6 +156,13 @@ def match_batch_ringd(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
       lefts_p/rights_p: (B, Hp, Wp) padded pairs, replicated over
         "model" (pad with `pad_batch(..., strategy="ringd")` — same
         slab-aligned geometry as dslab).
+      impl: "pallas" builds the slab cost volumes with the Pallas
+        kernel (sharded.slab_cost_volume); "jnp" is the XLA anchor.
+      debug_checks: add an on-device checkify invariant asserting the
+        winner maps really ARE replicated over the model axis — the
+        property `check_vma=False` (below) stops the static checker
+        from proving (SURVEY.md §5.2; VERDICT r3 item 9).  Callers must
+        wrap with `checkify.checkify` when set.
     Returns dict of (B, height, width) outputs.
     """
     from . import sharded
@@ -166,20 +176,24 @@ def match_batch_ringd(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
             srcs = jnp.concatenate([lp, rp[:, :, ::-1]])
             tgts = jnp.concatenate([rp, lp[:, :, ::-1]])
             disp, score = _ringd_direction(srcs, tgts, cfg, local,
-                                           n_slab, reverse=False)
+                                           n_slab, reverse=False,
+                                           impl=impl)
             b = lp.shape[0]
             disp_fwd, disp_rev = disp[:b], disp[b:]
             score = score[:b]
             disp_r_patch = disp_rev[:, :, ::-1]  # patch-level flip
         elif cfg.lr_check:  # 'direct'
             disp_fwd, score = _ringd_direction(lp, rp, cfg, local,
-                                               n_slab, reverse=False)
+                                               n_slab, reverse=False,
+                                               impl=impl)
             disp_rev, _ = _ringd_direction(rp, lp, cfg, local,
-                                           n_slab, reverse=True)
+                                           n_slab, reverse=True,
+                                           impl=impl)
             disp_r_patch = disp_rev
         else:
             disp_fwd, score = _ringd_direction(lp, rp, cfg, local,
-                                               n_slab, reverse=False)
+                                               n_slab, reverse=False,
+                                               impl=impl)
             disp_r_patch = None
 
         disp_px = jax.vmap(lambda x: pipeline.densify(x, p))(disp_fwd)
@@ -195,6 +209,25 @@ def match_batch_ringd(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
             )(disp_fwd, disp_r_patch)
         if cfg.min_score > 0.0:
             valid &= score_px >= cfg.min_score
+        if debug_checks and n_slab > 1:
+            # Replication invariant: every slab must hold the SAME
+            # winner maps after the ring merges (compensates for
+            # check_vma=False below — a future edit that breaks
+            # replication fails here at runtime, not only in the
+            # bitwise tests).  |x - ring_successor(x)| summed over all
+            # slabs is 0 iff x is replicated.
+            from jax.experimental import checkify
+
+            perm = [(i, (i + 1) % n_slab) for i in range(n_slab)]
+            for name_, x in (("disparity", disp_px), ("score", score_px)):
+                nb = jax.lax.ppermute(x, "model", perm)
+                resid = jax.lax.psum(
+                    jnp.sum(jnp.abs((x - nb).astype(jnp.float32))),
+                    "model")
+                checkify.check(
+                    resid == 0.0,
+                    "ringd " + name_ + " not replicated over the model "
+                    "axis (residual {r})", r=resid)
         out = jnp.where(valid, disp_px.astype(jnp.float32),
                         jnp.float32(cfg.invalid_value))
         return {

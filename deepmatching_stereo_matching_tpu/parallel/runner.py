@@ -111,7 +111,7 @@ def pairs_from_paths(left_paths: Sequence[str],
                                glob.padded_height, glob.padded_width,
                                num_threads) as loader:
             for _idx, left, right in loader:
-                yield left, right
+                yield sharded.as_padded(left), sharded.as_padded(right)
         return
     from ..io import images
     from ..oracle import reference as oracle
@@ -124,7 +124,7 @@ def pairs_from_paths(left_paths: Sequence[str],
             plane = np.zeros((glob.padded_height, glob.padded_width),
                              dtype=np.float32)
             plane[: g.shape[0], : g.shape[1]] = g
-            out.append(plane)
+            out.append(sharded.as_padded(plane))
         yield out[0], out[1]
 
 

@@ -83,7 +83,12 @@ def checked_match_padded(left_p, right_p, cfg: Config, height: int,
             nan_iff_invalid = jnp.isnan(disp) == ~out["valid"]
             checkify.check(nan_iff_invalid.all(),
                            "NaN sentinel inconsistent with validity mask")
-        return pipeline.crop(out, height, width)
+        # Post-filter AFTER the checks (fill_invalid rewrites the NaN
+        # sentinel, so the sentinel/validity invariant is checked on the
+        # pre-filter values) so the checked path stays the normal
+        # pipeline plus checks, never a divergent one (ADVICE r3).
+        return pipeline.apply_postfilter(
+            pipeline.crop(out, height, width), cfg)
 
     checked = checkify.checkify(run, errors=checkify.user_checks)
     err, out = jax.jit(checked)(left_p, right_p)

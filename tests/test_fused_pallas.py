@@ -56,7 +56,8 @@ def test_matches_oracle(h0, w0, max_d, levels):
     d0 = cfg_d0(max_d, levels)
     gd, gs = fused_pallas._match_rows(
         jnp.asarray(left), jnp.asarray(right), p, d0, max_d, levels,
-        cfg.lam, "float32", fused_pallas.use_interpret())
+        cfg.lam, fused_pallas.dot_precision(cfg), "float32",
+        fused_pallas.use_interpret())
     np.testing.assert_array_equal(np.asarray(gd), wd)
     np.testing.assert_allclose(np.asarray(gs), ws, atol=2e-5)
 
@@ -68,7 +69,7 @@ def test_left_edge_out_of_range_zero():
     left, right = rand_pair(rng, h0 * p, w0 * p)
     gd, gs = fused_pallas._match_rows(
         jnp.asarray(left), jnp.asarray(right), p, max_d, max_d, levels,
-        1.4, "float32", fused_pallas.use_interpret())
+        1.4, "split2", "float32", fused_pallas.use_interpret())
     wd, ws = oracle_match(left, right, Config(max_disparity=max_d,
                                               levels=levels),
                           max_d, levels)

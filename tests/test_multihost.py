@@ -31,7 +31,10 @@ def test_two_process_stream_bitwise(tmp_path):
     report = json.loads(out.read_text())
     assert report["ok"] and report["processes"] == 2
     assert report["global_devices"] == 8
-    for strat in ("tiled", "wtiled"):
+    # Pin ALL four strategies across the process boundary — ringd's
+    # psum + ppermute chains are the collectives most fragile under a
+    # real process split (VERDICT r3 item 10).
+    for strat in ("tiled", "wtiled", "dslab", "ringd"):
         row = report["strategies"][strat]
         assert row["shards_consistent_across_hosts"], strat
         assert row["bitwise_equal_to_single_device"], strat

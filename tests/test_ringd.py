@@ -141,3 +141,60 @@ def test_ring_argmax_unit():
         jax.numpy.asarray(vals))
     want = np.argmax(vals, axis=-1)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_ringd_pallas_costvol_matches_unsharded():
+    """Slab bodies running the Pallas cost volume (interpret mode on
+    CPU) == the unsharded Pallas pipeline, bitwise on decisions
+    (VERDICT r3 item 5: kernel-speed shard bodies)."""
+    cfg = Config(max_disparity=32, levels=2)
+    mesh = parallel.make_mesh(1, 4)
+    pairs = make_batch(2, 32, seed=21)
+    lefts = parallel.pad_batch([p[0] for p in pairs], cfg, H, W, mesh,
+                               "ringd")
+    rights = parallel.pad_batch([p[1] for p in pairs], cfg, H, W, mesh,
+                                "ringd")
+    sharding = parallel.input_sharding(mesh, "ringd")
+    got = parallel.match_batch_sharded(
+        jax.device_put(lefts, sharding), jax.device_put(rights, sharding),
+        cfg, H, W, mesh, "ringd", "pallas")
+    want = unsharded_reference(pairs, cfg)
+    for k in want:
+        if k == "score":
+            # Decisions are the bitwise contract; the Pallas cost
+            # kernel's sublane reduce rounds scores differently at the
+            # last ulp than the jnp einsum (same contract as bench.py's
+            # sharded smoke).
+            np.testing.assert_allclose(np.asarray(got[k]), want[k],
+                                       rtol=1e-6, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(np.asarray(got[k]), want[k],
+                                          err_msg=f"pallas-slab/{k}")
+
+
+def test_ringd_debug_checks_replication_invariant():
+    """debug_checks=True adds the on-device replication assert
+    (compensating for check_vma=False); a clean run must pass it
+    (VERDICT r3 item 9)."""
+    from jax.experimental import checkify
+
+    cfg = Config(max_disparity=16, levels=2)
+    mesh = parallel.make_mesh(1, 4)
+    pairs = make_batch(1, 16, seed=3)
+    lefts = parallel.pad_batch([p[0] for p in pairs], cfg, H, W, mesh,
+                               "ringd")
+    rights = parallel.pad_batch([p[1] for p in pairs], cfg, H, W, mesh,
+                                "ringd")
+    sharding = parallel.input_sharding(mesh, "ringd")
+
+    def run(lp, rp):
+        return parallel.match_batch_sharded(lp, rp, cfg, H, W, mesh,
+                                            "ringd", "jnp", None, True)
+
+    checked = checkify.checkify(run, errors=checkify.user_checks)
+    err, out = checked(jax.device_put(lefts, sharding),
+                       jax.device_put(rights, sharding))
+    err.throw()  # clean run: invariant holds
+    want = unsharded_reference(pairs, cfg)
+    np.testing.assert_array_equal(np.asarray(out["disparity_raw"]),
+                                  want["disparity_raw"])

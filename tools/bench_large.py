@@ -55,6 +55,8 @@ def main():
                                        geom))
         ls, rs = jnp.asarray(np.stack(lp)), jnp.asarray(np.stack(rp))
 
+        from deepmatching_stereo_matching_tpu.utils import timing
+
         step = jax.jit(lambda a, b: jax.vmap(
             lambda x, y: pipeline.match_padded_core(x, y, cfg, geom,
                                                     impl))(a, b))
@@ -63,20 +65,14 @@ def main():
         np.asarray(out["disparity"][0, 0, 0])
         compile_s = time.perf_counter() - t0
 
-        probe = jax.jit(lambda o: o["disparity"][0, 0, 0])
-        float(probe(step(ls, rs)))
-        ts = []
-        for n in (2, 6):
-            t0 = time.perf_counter()
-            outs = [step(ls, rs) for _ in range(n)]
-            float(probe(outs[-1]))
-            ts.append((n, time.perf_counter() - t0))
-        (n1, t1), (n2, t2) = ts
-        t = (t2 - t1) / (n2 - n1)
+        stats = timing.steady_state(step, (ls, rs), depths=(2, 6))
+        t = stats["median"]
         mpxs = batch * KH * KW * 1e-6 / t
         row = {"height": KH, "width": KW, "max_disparity": max_d,
                "batch": batch, "impl": impl,
                "ms_per_step": round(t * 1e3, 2),
+               "timing": {k: stats[k] for k in
+                          ("median", "min", "max", "samples")},
                "mpx_per_s": round(mpxs, 1),
                "compile_s": round(compile_s, 1),
                "volume_mb_per_direction": round(

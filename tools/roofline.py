@@ -19,9 +19,9 @@ reports "TPU v5 lite"):
 
   MXU, bf16 operands     197 TFLOP/s
   MXU, f32 via HIGHEST   197/6 TFLOP/s  (Mosaic's only full-precision
-                         matmul is the 6-pass bf16x6 decomposition; all
-                         matmuls in the fused kernel run HIGHEST —
-                         see ops/fused_pallas.py:_dot)
+                         matmul is the 6-pass bf16x6 decomposition; the
+                         fused kernel's default is the 2-pass split-bf16
+                         scheme, Config.fused_dot_precision)
   VPU                    ~6.1 TFLOP/s   (8x128 lanes x 4 ALUs x
                          ~1.5 GHz; FMA-counting doubles this, the
                          disparity loop is mul+add so we use the
@@ -94,17 +94,19 @@ def fused_model(geom, cfg):
     nblk = h0 // bh
 
     mxu = {
-        # right selections carry the qh halo (wn lanes); left ones are
-        # halo-free at exactly w0 lanes (fused_pallas narrow-left).
-        "sel": p * 2 * hp * wp * wn + p * 2 * hp * wp * w0,
+        # Chunked all-phase selections (fused_pallas._phase_all): one
+        # (128, 128) selection matmul per 128-lane chunk per image.
+        "sel": 2 * 2 * hp * wp * 128,
         "m2c": nblk * 2 * bh * bp * w0,
         "r2": nblk * 2 * bh * bp * wp,
-        "invr": p * nblk * 2 * bh * wp * wn,
+        "invr": nblk * 2 * bh * wp * 128,
         "dcomp": max_d * nblk * 2 * bh * bp * w0,
     }
     # Duplicated-cell pyramid: per level ~10 elementwise passes over a
     # (D/2^l, h0, w0) volume at duplicated (full) spatial resolution,
     # plus argmax/backtrack/score select loops ~5 passes over D planes.
+    # (Fast mode halves the rectified planes; the pass-count model is
+    # deliberately coarse — transcendental cost rides the VPU figure.)
     pyr = 10 * sum((d0 >> (l + 1)) * h0 * w0
                    for l in range(geom.levels)) + 5 * d0 * h0 * w0
     vpu = {
@@ -145,12 +147,14 @@ def twokernel_model(geom, cfg):
 
 def mxu_rate():
     """Effective MXU FLOP/s for the fused kernel's configured matmul
-    precision (ops/fused_pallas.py:_DOT_PREC): n split-bf16 passes run
-    at peak/n; HIGHEST is the 6-pass f32 decomposition."""
+    precision (Config.fused_dot_precision / fused_pallas._DOT_PREC
+    override): n split-bf16 passes run at peak/n; HIGHEST is the 6-pass
+    f32 decomposition."""
+    from deepmatching_stereo_matching_tpu import Config
     from deepmatching_stereo_matching_tpu.ops import fused_pallas
 
     passes = {"highest": 6, "split2": 2, "split3": 3}[
-        fused_pallas._DOT_PREC]
+        fused_pallas.dot_precision(Config())]
     return MXU_BF16 / passes, f"MXU(bf16x{passes})"
 
 
@@ -171,22 +175,16 @@ def bound(mxu, vpu, hbm):
 # ---------------------------------------------------------------------------
 
 
-def time_fn(fn, args, reps=(4, 12)):
-    """Steady-state seconds per call via the enqueue-slope method."""
-    import jax
-    import jax.numpy as jnp
+def time_fn(fn, args, repeats=5):
+    """Median steady-state seconds (shared protocol, utils/timing.py).
 
-    out = fn(*args)
-    probe = jax.jit(lambda o: jax.tree.leaves(o)[0].ravel()[0])
-    float(probe(out))  # compile + warm relay
-    ts = []
-    for n in reps:
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(n)]
-        float(probe(outs[-1]))
-        ts.append((n, time.perf_counter() - t0))
-    (n1, t1), (n2, t2) = ts
-    return (t2 - t1) / (n2 - n1)
+    Returns (median_seconds, stats_dict); stats_dict lands in the JSON
+    so ROOFLINE.json carries its own spread accounting.
+    """
+    from deepmatching_stereo_matching_tpu.utils import timing
+
+    stats = timing.steady_state(fn, args, repeats=repeats)
+    return stats["median"], stats
 
 
 def main():
@@ -227,26 +225,28 @@ def main():
     ls = jnp.concatenate([lp, rp[:, :, ::-1]])
     rs = jnp.concatenate([rp, lp[:, :, ::-1]])
 
-    reps = (2, 6) if args.quick else (4, 12)
+    repeats = 3 if args.quick else 5
     rows = {}
 
     # --- full pipeline step (fused impl), bench.py equivalent ---
     step = jax.jit(lambda a, b: jax.vmap(
         lambda x, y: pipeline.match_padded_core(x, y, cfg, geom, "fused")
     )(a, b))
-    t_full = time_fn(step, (lp, rp), reps)
-    rows["full_step_fused"] = {"seconds": t_full}
-    log(f"full step (fused):      {t_full*1e3:8.2f} ms")
+    t_full, st_full = time_fn(step, (lp, rp), repeats)
+    rows["full_step_fused"] = {"seconds": t_full, "timing": st_full}
+    log(f"full step (fused):      {t_full*1e3:8.2f} ms  "
+        f"[{st_full['min']*1e3:.2f}..{st_full['max']*1e3:.2f}]")
 
     # --- fused kernel alone, all 64 directions ---
     fused = jax.jit(lambda a, b: jax.vmap(
         lambda x, y: fused_pallas.match_rows(x, y, cfg, geom))(a, b))
-    t_fused = time_fn(fused, (ls, rs), reps)
+    t_fused, st_fused = time_fn(fused, (ls, rs), repeats)
     mxu, vpu, hbm = fused_model(geom, cfg)
     tb, bname = bound(mxu, vpu, hbm)
     sol = ndir * tb[bname]
     rows["fused_kernel"] = {
         "seconds": t_fused,
+        "timing": st_fused,
         "per_direction_model": {
             "mxu_flops": mxu, "vpu_flops": vpu, "hbm_bytes": hbm,
             "unit_seconds_lower_bound": tb},
@@ -254,7 +254,8 @@ def main():
         "sol_seconds": sol,
         "sol_fraction": sol / t_fused,
     }
-    log(f"fused kernel x{ndir}:      {t_fused*1e3:8.2f} ms   "
+    log(f"fused kernel x{ndir}:      {t_fused*1e3:8.2f} ms  "
+        f"[{st_fused['min']*1e3:.2f}..{st_fused['max']*1e3:.2f}]   "
         f"SOL {sol*1e3:.2f} ms ({bname})  -> "
         f"{100 * sol / t_fused:.0f}% of SOL")
 
@@ -265,8 +266,8 @@ def main():
                     x, cfg))(b))
 
     desc_j = jax.jit(desc_fn)
-    t_desc = time_fn(desc_j, (ls, rs), reps)
-    rows["descriptors_xla"] = {"seconds": t_desc}
+    t_desc, st_desc = time_fn(desc_j, (ls, rs), repeats)
+    rows["descriptors_xla"] = {"seconds": t_desc, "timing": st_desc}
     log(f"descriptors x{ndir}:       {t_desc*1e3:8.2f} ms")
 
     dsrc, dtgt = desc_j(ls, rs)
@@ -274,20 +275,21 @@ def main():
         lambda x, y: costvol_pallas.cost_volume_dmajor(
             x, y, geom.disparities, cfg.patch_size, cfg.max_disparity)
     )(a, b))
-    t_cv = time_fn(cv, (dsrc, dtgt), reps)
-    rows["costvol_kernel"] = {"seconds": t_cv}
+    t_cv, st_cv = time_fn(cv, (dsrc, dtgt), repeats)
+    rows["costvol_kernel"] = {"seconds": t_cv, "timing": st_cv}
     log(f"costvol kernel x{ndir}:    {t_cv*1e3:8.2f} ms")
 
     vol = cv(dsrc, dtgt)
     pyr = jax.jit(lambda v: jax.vmap(
         lambda x: pyramid_pallas.pyramid_backtrack(
             x, geom.levels, cfg.lam))(v))
-    t_pyr = time_fn(pyr, (vol,), reps)
+    t_pyr, st_pyr = time_fn(pyr, (vol,), repeats)
     _, vpu2, hbm2 = twokernel_model(geom, cfg)
     t_pyr_sol = ndir * (vpu2["pyr"] / VPU)
     t_pyr_hbm = ndir * ((hbm2["vol_r"] + hbm2["out"]) / HBM)
     rows["pyramid_kernel"] = {
         "seconds": t_pyr,
+        "timing": st_pyr,
         "sol_seconds_vpu": t_pyr_sol, "sol_seconds_hbm": t_pyr_hbm,
         "sol_fraction": max(t_pyr_sol, t_pyr_hbm) / t_pyr,
     }
