@@ -370,6 +370,95 @@ def bf16_mpxs(pairs):
     return v
 
 
+def grad_hist_mpxs(pairs):
+    """grad_hist-descriptor throughput row (VERDICT r3 item 8).
+
+    The fused kernel covers only 'patch' descriptors; the reference's
+    actual variant is unverifiable (SURVEY.md §7 hard part 6), so the
+    8-bin gradient-histogram pipeline's two-kernel throughput is
+    measured and published so the flagship claim is honest under
+    either resolution of the ambiguity.
+    """
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from deepmatching_stereo_matching_tpu.models import pipeline
+    from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+    from deepmatching_stereo_matching_tpu.utils import metrics, timing
+
+    cfg = dataclasses.replace(bench_config(), descriptor="grad_hist")
+    geom = cfg.geometry(H, W)
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    lp = np.stack([oracle.pad_image(oracle.to_grayscale_f32(l), geom)
+                   for l, _, _ in pairs])
+    rp = np.stack([oracle.pad_image(oracle.to_grayscale_f32(r), geom)
+                   for _, r, _ in pairs])
+
+    step = jax.jit(lambda a, b: jax.vmap(
+        lambda x, y: pipeline.match_padded_core(x, y, cfg, geom, impl)
+    )(a, b))
+    ls, rs = jnp.asarray(lp), jnp.asarray(rp)
+    out = step(ls, rs)
+    stats = timing.steady_state(step, (ls, rs),
+                                depths=(ITERS // 2, ITERS * 2))
+    v = BATCH * H * W * 1e-6 / stats["median"]
+    disp = np.asarray(out["disparity"])[:, :H, :W]
+    rates = [metrics.bad_pixel_rate(disp[i], pairs[i][2],
+                                    count_invalid=False)
+             for i in range(BATCH)]
+    log(f"grad_hist two-kernel: {timing.fmt(stats)}/step = {v:.1f} "
+        f"Mpx/s (impl={impl}), mean kept-pixel bad rate "
+        f"{float(np.mean(rates)):.4f}")
+    return v
+
+
+def adversarial_row():
+    """Quality on hostile scenes (occlusion/textureless/photometric
+    asymmetry — VERDICT r3 item 7): on-chip outputs vs the oracle,
+    plus the kept-pixel bad rate and the LR check's occlusion
+    rejection rate, on data/synthetic.py:adversarial_pair scenes."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepmatching_stereo_matching_tpu.data import synthetic
+    from deepmatching_stereo_matching_tpu.models import pipeline
+    from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+
+    cfg = bench_config()
+    h, w = 240, 360
+    occ_tot = rej = kept = bad = 0
+    fails = []
+    for seed in range(2):
+        left, right, gt, occ = synthetic.adversarial_pair(
+            h, w, MAX_D, seed=seed)
+        geom = cfg.geometry(h, w)
+        lp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left),
+                                          geom))
+        rp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right),
+                                          geom))
+        got = {k: np.asarray(v) for k, v in pipeline.match_padded(
+            lp, rp, cfg, h, w, "pallas").items()}
+        want = oracle.match_stereo(left, right, cfg)
+        if not (np.array_equal(got["disparity_raw"], want.disparity_raw)
+                and np.array_equal(got["valid"], want.valid)):
+            fails.append(f"adversarial seed {seed}: not bitwise vs oracle")
+        valid = got["valid"]
+        occ_tot += occ.sum()
+        rej += (~valid[occ]).sum()
+        keep = valid & ~occ & (gt >= 0)
+        kept += keep.sum()
+        bad += (np.abs(got["disparity"][keep] - gt[keep]) > 1).sum()
+    log(f"adversarial scenes: occ_rejection={rej / max(occ_tot, 1):.3f} "
+        f"kept-nonocc-bad={bad / max(kept, 1):.4f} "
+        f"(oracle-bitwise {'OK' if not fails else 'FAIL'})")
+    if fails or rej / max(occ_tot, 1) < 0.3 or bad / max(kept, 1) > 0.25:
+        for f_ in fails:
+            log("ADVERSARIAL FAILURE:", f_)
+        log("ADVERSARIAL FAILURE: quality below floor")
+        sys.exit(1)
+
+
 def native_io_row(pairs):
     """Host input-path throughput: native prefetch loader vs Python.
 
@@ -455,6 +544,8 @@ def main():
     parity_gate(pairs)
     sharded_smoke()
     bf16_mpxs(pairs)
+    grad_hist_mpxs(pairs)
+    adversarial_row()
     native_io_row(pairs)
     print(json.dumps({
         "metric": "full_pipeline_throughput_per_chip",

@@ -15,24 +15,29 @@ import numpy as np
 
 
 def load_image(path: str) -> np.ndarray:
-    """Load an image file as a numpy array (uint8 HxW or HxWx3).
+    """Load an image file as a numpy array (u8/u16 HxW or HxWx3).
 
-    PNM files decode through the native C++ codec when it is available
-    (deepmatching_stereo_matching_tpu/native, bit-identical to the
-    Python reader — tests/test_native.py); everything else goes
-    through PIL.
+    PNM and PNG files decode through the native C++ codec when it is
+    available (deepmatching_stereo_matching_tpu/native — PNM
+    bit-identical to the Python reader, PNG parity-tested against PIL
+    in tests/test_native.py), making the Middlebury/KITTI dataset
+    formats PIL-free; everything else goes through PIL.
     """
-    if path.lower().endswith((".pgm", ".ppm", ".pnm")):
+    lower = path.lower()
+    if lower.endswith((".pgm", ".ppm", ".pnm", ".png")):
         from .. import native
 
         if native.available():
-            arr, _maxval = native.read_pnm(path)
-            return arr
+            try:
+                arr, _maxval = native.read_image(path)
+                return arr
+            except IOError:
+                pass  # e.g. palette/interlaced PNG: fall through to PIL
     try:
         from PIL import Image
 
         with Image.open(path) as im:
-            if im.mode not in ("L", "RGB"):
+            if im.mode not in ("L", "RGB", "I;16"):
                 im = im.convert("RGB")
             return np.asarray(im)
     except ImportError:

@@ -42,11 +42,21 @@ def write_disparity_png16(path: str, disparity: np.ndarray) -> None:
 
 
 def read_disparity_png16(path: str) -> np.ndarray:
-    """Read a KITTI-style 16-bit disparity PNG -> float32 (nan=invalid)."""
-    from PIL import Image
+    """Read a KITTI-style 16-bit disparity PNG -> float32 (nan=invalid).
 
-    with Image.open(path) as im:
-        enc = np.asarray(im, dtype=np.float32)
+    Decodes through the native C++ PNG reader when available (PIL-free
+    dataset evaluation, VERDICT r3 item 6), else PIL.
+    """
+    from .. import native
+
+    if native.available():
+        arr, _maxval = native.read_png(path)
+        enc = np.asarray(arr, dtype=np.float32)
+    else:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            enc = np.asarray(im, dtype=np.float32)
     out = enc / 256.0
     out[enc == 0] = np.nan
     return out

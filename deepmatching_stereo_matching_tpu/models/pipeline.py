@@ -106,13 +106,19 @@ def backtrack(maps: List[jnp.ndarray], args: List[jnp.ndarray]
 
 def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
                            cfg: Config, geom: Geometry, impl: str,
-                           reverse: bool = False, origin_offset: int = 0
+                           reverse: bool = False, origin_offset: int = 0,
+                           large: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cost volume + pyramid + backtracking on prepared descriptors.
 
     The shared core of both matching directions and of the sharded
     tile-local pipeline (which passes halo-extended target descriptors
     via `origin_offset`, SURVEY.md §5.7).
+
+    `large=True` declares that the CALLER executes instances
+    sequentially (lax.map, no direction/batch vmap), which admits the
+    fused pyramid kernel for VMEM-hungry large-D volumes
+    (pyramid_pallas.fits_solo) instead of the XLA pyramid fallback.
     """
     if impl == "fused":
         # Descriptor-level callers can't use the image->disparity fused
@@ -129,9 +135,12 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
         desc_src = desc_src.astype(dt)
         desc_tgt = desc_tgt.astype(dt)
     h0, w0 = desc_src.shape[:2]
-    if impl == "pallas" and pyramid_pallas.fits(
-            geom.disparities, h0, w0, geom.levels,
-            jnp.dtype(cfg.dtype).itemsize):
+    itemsize = jnp.dtype(cfg.dtype).itemsize
+    if impl == "pallas" and (
+            pyramid_pallas.fits(geom.disparities, h0, w0, geom.levels,
+                                itemsize)
+            or (large and pyramid_pallas.fits_solo(
+                geom.disparities, h0, w0, geom.levels, itemsize))):
         # Fused fast path: D-major cost volume feeds the single fused
         # pyramid+backtracking kernel; no (H0, W0, D) volume, level
         # maps, or argmax offsets ever round-trip HBM.
@@ -168,13 +177,15 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
 
 def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
                   geom: Geometry, impl: str = "pallas",
-                  reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  reverse: bool = False, large: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(Hp, Wp) padded pair -> (disp_patch, score), both (H0, W0).
 
     impl: 'fused' (single image->disparity kernel, ~1e-6-tolerance
     scores, fastest), 'pallas' (exact two-kernel path), or 'jnp'.
     'fused' silently falls back to 'pallas' for configurations the
     fused kernel doesn't cover (ops/fused_pallas.py:supported).
+    `large`: see match_from_descriptors.
     """
     if impl == "fused" and not reverse and fused_pallas.supported(cfg, geom):
         with jax.named_scope("fused_match"):
@@ -183,7 +194,7 @@ def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
         desc_src = descriptors.left_descriptors(left, cfg)
         desc_tgt = descriptors.right_sliding_descriptors(right, cfg)
     return match_from_descriptors(desc_src, desc_tgt, cfg, geom, impl,
-                                  reverse=reverse)
+                                  reverse=reverse, large=large)
 
 
 # ---------------------------------------------------------------------------
@@ -306,20 +317,32 @@ def lr_consistency_patch_padded(disp_l: jnp.ndarray, padded: jnp.ndarray,
 
 
 def match_padded_core(left_p: jnp.ndarray, right_p: jnp.ndarray,
-                      cfg: Config, geom: Geometry, impl: str = "pallas"
-                      ) -> Dict[str, jnp.ndarray]:
+                      cfg: Config, geom: Geometry, impl: str = "pallas",
+                      large: bool = False) -> Dict[str, jnp.ndarray]:
     """Padded pair -> PADDED (Hp, Wp) outputs; the shard-local core.
 
     Uses only `geom`'s padded dims / levels / disparities, never the true
     image size, so the sharded pipeline (parallel/sharded.py) can call it
     per H-tile with a tile-local Geometry and crop outside the shard map.
+
+    `large=True` runs the two matching directions SEQUENTIALLY
+    (lax.map) instead of vmapped — Mosaic charges co-resident vmapped
+    kernel instances against scoped VMEM together, so VMEM-hungry
+    large-D volumes only fit solo (pyramid_pallas.fits_solo; callers
+    must also not vmap over a batch).
     """
     if cfg.lr_check and cfg.lr_mode == "flip":
         # Batch L->R with the flipped R->L pass (d_R(x) = d'_L(W-1-x)).
         lefts = jnp.stack([left_p, right_p[:, ::-1]])
         rights = jnp.stack([right_p, left_p[:, ::-1]])
-        (disp_patch, score_patch) = jax.vmap(
-            lambda l, r: one_direction(l, r, cfg, geom, impl))(lefts, rights)
+        if large:
+            (disp_patch, score_patch) = jax.lax.map(
+                lambda lr: one_direction(lr[0], lr[1], cfg, geom, impl,
+                                         large=True), (lefts, rights))
+        else:
+            (disp_patch, score_patch) = jax.vmap(
+                lambda l, r: one_direction(l, r, cfg, geom, impl)
+            )(lefts, rights)
         disp_fwd, disp_rev = disp_patch[0], disp_patch[1]
         score = score_patch[0]
         # Flip at patch level: densify(x)[:, ::-1] == densify(x[:, ::-1])
@@ -334,12 +357,13 @@ def match_padded_core(left_p: jnp.ndarray, right_p: jnp.ndarray,
         desc_r_p = descriptors.left_descriptors(right_p, cfg)
         desc_r_s = descriptors.right_sliding_descriptors(right_p, cfg)
         disp_fwd, score = match_from_descriptors(
-            desc_l_p, desc_r_s, cfg, geom, impl)
+            desc_l_p, desc_r_s, cfg, geom, impl, large=large)
         disp_rev, _ = match_from_descriptors(
-            desc_r_p, desc_l_s, cfg, geom, impl, reverse=True)
+            desc_r_p, desc_l_s, cfg, geom, impl, reverse=True, large=large)
         disp_r_patch = disp_rev
     else:
-        disp_fwd, score = one_direction(left_p, right_p, cfg, geom, impl)
+        disp_fwd, score = one_direction(left_p, right_p, cfg, geom, impl,
+                                        large=large)
         disp_r_patch = None
 
     disp_px = densify(disp_fwd, cfg.patch_size)

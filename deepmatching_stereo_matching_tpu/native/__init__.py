@@ -73,6 +73,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dms_write_png.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int]
+    lib.dms_read_png.argtypes = [ctypes.c_char_p, void_pp, int_p, int_p,
+                                 int_p, int_p]
+    lib.dms_read_image.argtypes = [ctypes.c_char_p, void_pp, int_p, int_p,
+                                   int_p, int_p]
     lib.dms_gray_norm_pad.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int,
@@ -147,6 +151,56 @@ def read_pnm(path: str) -> Tuple[np.ndarray, int]:
         lib.dms_free(data)
     shape = (h.value, w.value) if ch.value == 1 else (h.value, w.value, 3)
     return arr.reshape(shape), maxval.value
+
+
+def _read_via(fn, path: str) -> Tuple[np.ndarray, int]:
+    """Shared decode tail: C buffer -> numpy array + maxval."""
+    lib = get_lib()
+    assert lib is not None
+    data = ctypes.c_void_p()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ch = ctypes.c_int()
+    maxval = ctypes.c_int()
+    _check(lib, fn(path.encode(), ctypes.byref(data), ctypes.byref(w),
+                   ctypes.byref(h), ctypes.byref(ch), ctypes.byref(maxval)),
+           f"read({path})")
+    try:
+        dtype = np.uint16 if maxval.value > 255 else np.uint8
+        count = h.value * w.value * ch.value
+        buf = (ctypes.c_uint8 * (count * dtype().itemsize)).from_address(
+            data.value)
+        arr = np.frombuffer(buf, dtype=dtype, count=count).copy()
+    finally:
+        lib.dms_free(data)
+    shape = (h.value, w.value) if ch.value == 1 else (h.value, w.value, 3)
+    return arr.reshape(shape), maxval.value
+
+
+def read_png(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a PNG -> ((H,W) or (H,W,3) u8/u16 array, maxval).
+
+    Gray 8/16-bit, RGB 8/16-bit, RGBA 8-bit (alpha dropped);
+    non-interlaced (the Middlebury/KITTI dataset formats).
+    """
+    lib = get_lib()
+    assert lib is not None
+
+    def fn(p, d, w, h, c, mv):
+        depth = ctypes.c_int()
+        rc = lib.dms_read_png(p, d, w, h, c, ctypes.byref(depth))
+        if rc == 0:
+            mv._obj.value = 65535 if depth.value == 16 else 255
+        return rc
+
+    return _read_via(fn, path)
+
+
+def read_image(path: str) -> Tuple[np.ndarray, int]:
+    """Magic-sniffing decode: PNM (P5/P6) or PNG."""
+    lib = get_lib()
+    assert lib is not None
+    return _read_via(lib.dms_read_image, path)
 
 
 def write_pnm(path: str, arr: np.ndarray, maxval: Optional[int] = None

@@ -306,6 +306,202 @@ DMS_API int dms_write_png(const char* path, const void* data, int w, int h,
 }
 
 // ---------------------------------------------------------------------
+// PNG reader (zlib inflate + per-row unfilter).  Gray 8/16, RGB 8/16,
+// RGBA 8 (alpha dropped -> RGB).  Non-interlaced, non-palette only —
+// the Middlebury/KITTI dataset files this loader exists for
+// (BASELINE.json:7,9) are plain 8-bit RGB and 16-bit gray PNGs.
+// ---------------------------------------------------------------------
+
+namespace {
+
+uint32_t be32(const uint8_t* p) {
+  return (static_cast<uint32_t>(p[0]) << 24) |
+         (static_cast<uint32_t>(p[1]) << 16) |
+         (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+
+// PNG Paeth predictor (RFC 2083 §6.6).
+uint8_t paeth(int a, int b, int c) {
+  const int p = a + b - c;
+  const int pa = p > a ? p - a : a - p;
+  const int pb = p > b ? p - b : b - p;
+  const int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return static_cast<uint8_t>(a);
+  if (pb <= pc) return static_cast<uint8_t>(b);
+  return static_cast<uint8_t>(c);
+}
+
+}  // namespace
+
+// Decode a PNG.  *data is malloc'd: u8, or native-endian u16 when
+// *bitdepth == 16; layout (h, w, channels) row-major; RGBA input is
+// returned as RGB (alpha dropped).  Caller frees with dms_free.
+DMS_API int dms_read_png(const char* path, void** data, int* w, int* h,
+                         int* channels, int* bitdepth) {
+  File file(path, "rb");
+  if (!file) return fail(std::string("open failed: ") + path);
+  uint8_t sig[8];
+  static const uint8_t kSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a,
+                                  '\n'};
+  if (std::fread(sig, 1, 8, file.f) != 8 || std::memcmp(sig, kSig, 8)) {
+    return fail("not a PNG file");
+  }
+  long W = 0, H = 0;
+  int depth = 0, color = -1, in_ch = 0;
+  std::vector<uint8_t> idat;
+  bool seen_iend = false;
+  while (!seen_iend) {
+    uint8_t hdr[8];
+    if (std::fread(hdr, 1, 8, file.f) != 8) return fail("truncated PNG");
+    const uint32_t len = be32(hdr);
+    if (len > (1u << 30)) return fail("PNG chunk too large");
+    const char* type = reinterpret_cast<const char*>(hdr + 4);
+    if (!std::memcmp(type, "IHDR", 4)) {
+      if (len != 13) return fail("bad IHDR");
+      uint8_t ih[13];
+      if (std::fread(ih, 1, 13, file.f) != 13) return fail("bad IHDR");
+      W = be32(ih);
+      H = be32(ih + 4);
+      depth = ih[8];
+      color = ih[9];
+      if (ih[12] != 0) return fail("interlaced PNG unsupported");
+      if (W <= 0 || H <= 0 || W > (1L << 20) || H > (1L << 20) ||
+          W * H > (1L << 30)) {
+        return fail("PNG dimensions out of range");
+      }
+      switch (color) {
+        case 0: in_ch = 1; break;          // gray
+        case 2: in_ch = 3; break;          // RGB
+        case 6: in_ch = 4; break;          // RGBA
+        default:
+          return fail("unsupported PNG color type (palette?)");
+      }
+      if (depth != 8 && depth != 16) {
+        return fail("unsupported PNG bit depth");
+      }
+    } else if (!std::memcmp(type, "IDAT", 4)) {
+      const size_t off = idat.size();
+      idat.resize(off + len);
+      if (std::fread(idat.data() + off, 1, len, file.f) != len) {
+        return fail("truncated IDAT");
+      }
+    } else if (!std::memcmp(type, "IEND", 4)) {
+      seen_iend = true;
+      if (len && std::fseek(file.f, len, SEEK_CUR)) return fail("bad IEND");
+    } else {  // ancillary chunk: skip payload
+      if (std::fseek(file.f, len, SEEK_CUR)) return fail("truncated PNG");
+    }
+    if (std::fseek(file.f, 4, SEEK_CUR)) {  // chunk CRC (not verified)
+      return fail("truncated PNG");
+    }
+  }
+  if (!W || idat.empty()) return fail("PNG missing IHDR/IDAT");
+
+  const size_t bpp = static_cast<size_t>(in_ch) * (depth / 8);
+  const size_t row_bytes = static_cast<size_t>(W) * bpp;
+  std::vector<uint8_t> raw((row_bytes + 1) * H);
+  uLongf rawlen = raw.size();
+  const int zrc = uncompress(raw.data(), &rawlen, idat.data(),
+                             static_cast<uLong>(idat.size()));
+  if (zrc != Z_OK || rawlen != raw.size()) {
+    return fail("PNG inflate failed");
+  }
+  // Unfilter in place (scanline filters operate on raw bytes).
+  std::vector<uint8_t> prev(row_bytes, 0);
+  for (long r = 0; r < H; ++r) {
+    uint8_t* line = raw.data() + static_cast<size_t>(r) * (row_bytes + 1);
+    const uint8_t ft = line[0];
+    uint8_t* cur = line + 1;
+    switch (ft) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (size_t i = bpp; i < row_bytes; ++i) cur[i] += cur[i - bpp];
+        break;
+      case 2:  // Up
+        for (size_t i = 0; i < row_bytes; ++i) cur[i] += prev[i];
+        break;
+      case 3:  // Average
+        for (size_t i = 0; i < bpp; ++i) cur[i] += prev[i] / 2;
+        for (size_t i = bpp; i < row_bytes; ++i) {
+          cur[i] += static_cast<uint8_t>((cur[i - bpp] + prev[i]) / 2);
+        }
+        break;
+      case 4:  // Paeth
+        for (size_t i = 0; i < bpp; ++i) cur[i] += paeth(0, prev[i], 0);
+        for (size_t i = bpp; i < row_bytes; ++i) {
+          cur[i] += paeth(cur[i - bpp], prev[i], prev[i - bpp]);
+        }
+        break;
+      default:
+        return fail("bad PNG filter type");
+    }
+    std::memcpy(prev.data(), cur, row_bytes);
+  }
+  // Emit (h, w, out_ch), dropping alpha, fixing 16-bit endianness.
+  const int out_ch = in_ch == 4 ? 3 : in_ch;
+  const size_t count = static_cast<size_t>(W) * H * out_ch;
+  const int bytes_per = depth / 8;
+  void* buf = std::malloc(count * bytes_per);
+  if (!buf) return fail("out of memory");
+  for (long r = 0; r < H; ++r) {
+    const uint8_t* src =
+        raw.data() + static_cast<size_t>(r) * (row_bytes + 1) + 1;
+    if (depth == 8) {
+      auto* dst = static_cast<uint8_t*>(buf) +
+                  static_cast<size_t>(r) * W * out_ch;
+      if (in_ch == out_ch) {
+        std::memcpy(dst, src, row_bytes);
+      } else {  // RGBA -> RGB
+        for (long c = 0; c < W; ++c) {
+          dst[3 * c] = src[4 * c];
+          dst[3 * c + 1] = src[4 * c + 1];
+          dst[3 * c + 2] = src[4 * c + 2];
+        }
+      }
+    } else {  // 16-bit big-endian samples -> native u16
+      auto* dst = static_cast<uint16_t*>(buf) +
+                  static_cast<size_t>(r) * W * out_ch;
+      for (long c = 0; c < W * in_ch; ++c) {
+        const long oc = in_ch == 4 ? (c / 4) * 3 + (c % 4) : c;
+        if (in_ch == 4 && c % 4 == 3) continue;
+        dst[oc] = static_cast<uint16_t>((src[2 * c] << 8) | src[2 * c + 1]);
+      }
+    }
+  }
+  *data = buf;
+  *w = static_cast<int>(W);
+  *h = static_cast<int>(H);
+  *channels = out_ch;
+  *bitdepth = depth;
+  return 0;
+}
+
+// Sniff the magic and decode PNM or PNG.  *maxval is 255/65535 for
+// PNG (by bit depth) or the PNM header value.
+DMS_API int dms_read_image(const char* path, void** data, int* w, int* h,
+                           int* channels, int* maxval) {
+  uint8_t magic[2] = {0, 0};
+  {
+    File probe(path, "rb");
+    if (!probe) return fail(std::string("open failed: ") + path);
+    if (std::fread(magic, 1, 2, probe.f) != 2) {
+      return fail("file too short");
+    }
+  }
+  if (magic[0] == 'P' && (magic[1] == '5' || magic[1] == '6')) {
+    return dms_read_pnm(path, data, w, h, channels, maxval);
+  }
+  if (magic[0] == 0x89 && magic[1] == 'P') {
+    int depth = 0;
+    const int rc = dms_read_png(path, data, w, h, channels, &depth);
+    if (rc == 0) *maxval = depth == 16 ? 65535 : 255;
+    return rc;
+  }
+  return fail("unsupported image format (PNM/PNG only)");
+}
+
+// ---------------------------------------------------------------------
 // Host prologue: grayscale + normalize + zero-pad, one pass.
 // Matches oracle/reference.py:to_grayscale_f32 + pad_image exactly:
 // BT.601 weights for RGB, /255 for integer inputs, zero pad
@@ -402,7 +598,7 @@ struct Loader {
   int load_one(const std::string& path, std::vector<float>* out) {
     void* data = nullptr;
     int w, h, ch, maxval;
-    if (dms_read_pnm(path.c_str(), &data, &w, &h, &ch, &maxval) != 0) {
+    if (dms_read_image(path.c_str(), &data, &w, &h, &ch, &maxval) != 0) {
       return -1;
     }
     out->resize(static_cast<size_t>(pw) * ph);

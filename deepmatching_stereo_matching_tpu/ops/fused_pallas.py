@@ -451,7 +451,7 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     return jnp.stack(costs, axis=0)                           # (d0, bh, w0)
 
 
-def _kernel(l_ref, r_ref, disp_ref, score_ref, *, p: int, d0: int,
+def _kernel(l_ref, r_ref, disp_ref, score_ref, *scratch, p: int, d0: int,
             max_d: int, qh: int, levels: int, lam: float, prec: str,
             dtype):
     block = (_cost_block_rowphase if _PHASING == "rowphase"
@@ -464,8 +464,17 @@ def _kernel(l_ref, r_ref, disp_ref, score_ref, *, p: int, d0: int,
         disp_ref[...] = jnp.zeros(cost0.shape[1:], jnp.int32)
         score_ref[...] = jnp.sum(cost0, axis=0).astype(jnp.float32)
         return
-    k, sc = pyramid_pallas.pyramid_body(cost0, levels, lam,
-                                        fast=_PYR_FAST)
+    if scratch:
+        # Large d0: backtracking selects need REF-based fori_loops
+        # (pyramid_pallas._plane_select); park the volume in scratch so
+        # the score select can load it dynamically.
+        scratch[0][...] = cost0
+        k, sc = pyramid_pallas.pyramid_body(
+            cost0, levels, lam, fast=_PYR_FAST, cost_ref=scratch[0],
+            args_refs=list(scratch[1:]))
+    else:
+        k, sc = pyramid_pallas.pyramid_body(cost0, levels, lam,
+                                            fast=_PYR_FAST)
     disp_ref[...] = k
     score_ref[...] = sc
 
@@ -552,11 +561,16 @@ def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
     out_spec = pl.BlockSpec((bh, w0), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     itemsize = jnp.dtype(dtype).itemsize
+    scratch = ([pltpu.VMEM((d0, bh, w0), jnp.dtype(dtype))]
+               + [pltpu.VMEM((d0 >> (l + 1), bh, w0), jnp.int32)
+                  for l in range(levels)]
+               if d0 > pyramid_pallas._UNROLL_MAX else [])
     return pl.pallas_call(
         kernel,
         grid=(h0 // bh,),
         in_specs=[in_spec, in_spec],
         out_specs=(out_spec, out_spec),
+        scratch_shapes=scratch,
         out_shape=(jax.ShapeDtypeStruct((h0, w0), jnp.int32),
                    jax.ShapeDtypeStruct((h0, w0), jnp.float32)),
         cost_estimate=pl.CostEstimate(

@@ -103,7 +103,7 @@ def _pair_sum(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
 
 
 def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float,
-                 fast: bool = False):
+                 fast: bool = False, cost_ref=None, args_refs=None):
     """Bottom-up aggregation + dense backtracking on a VMEM-resident
     (D, bh, wb) cost block; shared by this kernel and the fully fused
     image->disparity kernel (ops/fused_pallas.py).  Returns
@@ -117,7 +117,14 @@ def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float,
     planes — and the top level needs no rectification at all (argmax of
     a monotone function).  Rectified values use the exp2-based _POW_IMPL
     which rounds differently from jnp.power, so fast mode is reserved
-    for the tolerance-gated fused kernel (bench.py parity gate)."""
+    for the tolerance-gated fused kernel (bench.py parity gate).
+
+    cost_ref/args_refs: for LARGE plane counts (> _UNROLL_MAX) the
+    backtracking one-hot selects must run as fori_loops with dynamic
+    leading-axis REF loads (Mosaic cannot dynamic-slice values); the
+    caller then passes the cost block's input ref and per-level VMEM
+    scratch refs for the recorded pool offsets.  Values and order are
+    identical to the unrolled in-value path."""
     dt = cost0.dtype
 
     def c32(x):
@@ -154,7 +161,10 @@ def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float,
         arg = jnp.where(c32(pooled) == c32(lo), jnp.int32(-1),
                         jnp.where(c32(pooled) == c32(even), jnp.int32(0),
                                   jnp.int32(1)))
-        args.append(arg)
+        if args_refs is not None:
+            args_refs[lvl][...] = arg
+        else:
+            args.append(arg)
         if fast and lvl > 0:
             # Deferred rectification of the PREVIOUS level's merge,
             # applied post-pool (half the planes).
@@ -181,20 +191,49 @@ def pyramid_body(cost0: jnp.ndarray, levels: int, lam: float,
 
     # Top-down propagation (C10): k_child = 2*k + recorded pool offset.
     for lvl in range(levels - 1, -1, -1):
-        arg = args[lvl]                                 # (D_l/2, bh, wb)
-        off = jnp.zeros_like(k)
-        for dd in range(arg.shape[0]):
-            off = jnp.where(k == dd, arg[dd], off)
+        arg = args_refs[lvl] if args_refs is not None else args[lvl]
+        off = _plane_select(arg, k, jnp.zeros_like(k))
         k = 2 * k + off
 
-    sc = jnp.zeros(k.shape, jnp.float32)
-    for dd in range(d0):
-        sc = jnp.where(k == dd, cost0[dd].astype(jnp.float32), sc)
+    sc = _plane_select(cost_ref if cost_ref is not None else cost0, k,
+                       jnp.zeros(k.shape, jnp.float32))
     return k, sc
 
 
-def _kernel(cost_ref, disp_ref, score_ref, *, levels: int, lam: float):
-    k, sc = pyramid_body(cost_ref[...], levels, lam)
+# Above this plane count the one-hot selects compile as fori_loops with
+# dynamic leading-axis indexing instead of a full unroll — the unrolled
+# form at D=256 (0.5k iterations) crashes the remote compile helper;
+# both forms compute identical values in the identical order.
+_UNROLL_MAX = 64
+
+
+def _plane_select(planes, k: jnp.ndarray, init: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """out = planes[k] per cell (cast to init's dtype), via one-hot
+    overwrite in plane order.
+
+    `planes` may be a VALUE (unrolled; any n <= _UNROLL_MAX) or a REF
+    (fori_loop with dynamic leading-axis loads — the only form Mosaic
+    supports for dynamic indexing, used for large n)."""
+    n = planes.shape[0]
+    dt = init.dtype
+    if n <= _UNROLL_MAX and isinstance(planes, jnp.ndarray):
+        out = init
+        for dd in range(n):
+            out = jnp.where(k == dd, planes[dd].astype(dt), out)
+        return out
+
+    def body(dd, out):
+        return jnp.where(k == dd, planes[dd].astype(dt), out)
+
+    return jax.lax.fori_loop(0, n, body, init)
+
+
+def _kernel(cost_ref, disp_ref, score_ref, *scratch, levels: int,
+            lam: float):
+    k, sc = pyramid_body(cost_ref[...], levels, lam,
+                         cost_ref=cost_ref if scratch else None,
+                         args_refs=list(scratch) if scratch else None)
     disp_ref[...] = k
     score_ref[...] = sc
 
@@ -241,6 +280,20 @@ def fits(d: int, h0: int, w0: int, levels: int, itemsize: int = 4) -> bool:
     return d * bh * wb * itemsize <= 1536 * 1024
 
 
+def fits_solo(d: int, h0: int, w0: int, levels: int,
+              itemsize: int = 4) -> bool:
+    """Like `fits`, but for a SEQUENTIALLY executed instance (callers
+    replace their direction/batch vmap with lax.map — the large-D path,
+    models/pipeline.py `large=True`).  One instance's block plus ~2x
+    transients must fit the 16 MB scoped-VMEM cap alone (measured:
+    KITTI D=256 levels=4 — a 5.2 MB block — compiles and runs solo)."""
+    unit = 2 ** levels
+    if h0 % unit or w0 % unit or d % unit:
+        return False
+    bh, wb = _pick_blocks(h0, w0, d, unit, itemsize)
+    return d * bh * wb * itemsize <= 6 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "lam", "interpret"))
 def _pyramid_backtrack(cost_dm: jnp.ndarray, levels: int, lam: float,
                        interpret: bool):
@@ -253,12 +306,18 @@ def _pyramid_backtrack(cost_dm: jnp.ndarray, levels: int, lam: float,
     kernel = functools.partial(_kernel, levels=levels, lam=lam)
     out_spec = pl.BlockSpec((bh, wb), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
+    # Large D: the backtrack selects run as fori_loops over per-level
+    # VMEM scratch refs (see pyramid_body); small D stays fully
+    # unrolled over in-register values.
+    scratch = ([pltpu.VMEM((d >> (l + 1), bh, wb), jnp.int32)
+                for l in range(levels)] if d > _UNROLL_MAX else [])
     return pl.pallas_call(
         kernel,
         grid=(h0 // bh, w0 // wb),
         in_specs=[pl.BlockSpec((d, bh, wb), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM)],
         out_specs=(out_spec, out_spec),
+        scratch_shapes=scratch,
         out_shape=(jax.ShapeDtypeStruct((h0, w0), jnp.int32),
                    jax.ShapeDtypeStruct((h0, w0), jnp.float32)),
         cost_estimate=pl.CostEstimate(

@@ -91,7 +91,8 @@ def pairs_from_paths(left_paths: Sequence[str],
 
     Uses the native C++ prefetch loader (decode + grayscale/normalise/
     pad on worker threads, overlapping the TPU's previous batch) when
-    it is available and every input is PNM; otherwise falls back to the
+    it is available and every input is PNM or PNG — the Middlebury/
+    KITTI dataset formats stream PIL-free; otherwise falls back to the
     Python readers.  Both paths emit bit-identical planes
     (tests/test_native.py) shaped for `strategy`'s padded geometry, so
     the output feeds `run_stream` directly.
@@ -103,9 +104,9 @@ def pairs_from_paths(left_paths: Sequence[str],
         mesh = mesh_lib.auto_mesh()
     glob = sharded.strategy_geometry(cfg, height, width, mesh, strategy,
                                      merge_level)
-    pnm = (".pgm", ".ppm", ".pnm")
+    native_fmts = (".pgm", ".ppm", ".pnm", ".png")
     if (native.available()
-            and all(p.lower().endswith(pnm)
+            and all(p.lower().endswith(native_fmts)
                     for p in list(left_paths) + list(right_paths))):
         with native.PairLoader(list(left_paths), list(right_paths),
                                glob.padded_height, glob.padded_width,

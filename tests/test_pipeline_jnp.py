@@ -189,3 +189,32 @@ class TestLRConsistencyPatch:
             got = np.asarray(pipeline.lr_consistency_patch(
                 jnp.asarray(dl), jnp.asarray(dr), 1.0, d0, p))
             np.testing.assert_array_equal(got, want)
+
+
+def test_match_padded_core_large_serial_bitwise():
+    """large=True (sequential lax.map over directions, the large-D
+    path) is bitwise-identical to the vmapped core."""
+    import jax.numpy as jnp
+    from deepmatching_stereo_matching_tpu.data import synthetic
+    from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+
+    h, w, d = 64, 96, 16
+    cfg = Config(max_disparity=d, levels=2)
+    geom = cfg.geometry(h, w)
+    rng = np.random.default_rng(2)
+    field = synthetic.block_disparity_field(h, w, d, rng, block=16)
+    left, right, _ = synthetic.make_pair(h, w, field, seed=2)
+    lp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left), geom))
+    rp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right), geom))
+    a = pipeline.match_padded_core(lp, rp, cfg, geom, "jnp", large=True)
+    b = pipeline.match_padded_core(lp, rp, cfg, geom, "jnp")
+    for k in a:
+        if k == "score":
+            # XLA fuses the scan-mapped descriptor normalisation
+            # differently than the vmapped one; decisions are the
+            # bitwise contract, scores agree to float rounding.
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-6, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)

@@ -122,3 +122,39 @@ def test_dmajor_costvol_matches_transposed():
     a = np.asarray(costvol_pallas.cost_volume(src, tgt, d0, p, d0))
     b = np.asarray(costvol_pallas.cost_volume_dmajor(src, tgt, d0, p, d0))
     np.testing.assert_array_equal(b, a.transpose(2, 0, 1))
+
+
+def test_plane_select_fori_matches_unrolled():
+    """The fori_loop select path (plane count > _UNROLL_MAX, the
+    large-D regime) computes exactly the unrolled one-hot select."""
+    import jax.numpy as jnp
+    from deepmatching_stereo_matching_tpu.ops import pyramid_pallas as pp
+
+    rng = np.random.default_rng(0)
+    planes = jnp.asarray(rng.standard_normal((130, 8, 16)).astype("f4"))
+    k = jnp.asarray(rng.integers(0, 130, (8, 16)).astype("i4"))
+    init = jnp.zeros((8, 16), jnp.float32)
+    got = pp._plane_select(planes, k, init)       # fori path (130 > 64)
+    want = np.zeros((8, 16), np.float32)
+    kp = np.asarray(k)
+    for dd in range(130):
+        want = np.where(kp == dd, np.asarray(planes)[dd], want)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_pyramid_large_d_fori_path_bitwise():
+    """D=128 (> _UNROLL_MAX) drives the kernel's fori selects; still
+    bitwise-equal to the jnp pyramid+backtrack."""
+    import jax.numpy as jnp
+    from deepmatching_stereo_matching_tpu.models import pipeline
+    from deepmatching_stereo_matching_tpu.ops import pyramid_pallas as pp
+
+    rng = np.random.default_rng(1)
+    d, h0, w0, levels = 128, 16, 16, 2
+    vol = jnp.asarray(np.maximum(
+        rng.standard_normal((h0, w0, d)).astype("f4"), 0.0))
+    maps, args = pipeline.build_pyramid(vol, levels, 1.4)
+    wk, ws = pipeline.backtrack(maps, args)
+    gk, gs = pp.pyramid_backtrack(jnp.moveaxis(vol, -1, 0), levels, 1.4)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
