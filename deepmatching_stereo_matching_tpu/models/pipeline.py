@@ -99,6 +99,63 @@ def backtrack(maps: List[jnp.ndarray], args: List[jnp.ndarray]
     return k, score
 
 
+def _select_dmajor(planes: jnp.ndarray, k: jnp.ndarray,
+                   acc_dtype) -> jnp.ndarray:
+    """planes[k[h, w], h, w] without a gather (D-MAJOR one-hot reduce).
+
+    Leading-axis analogue of `_select_at`: exactly one plane matches
+    per cell, so the masked sum IS the selected element, and the
+    reduction never touches the minor (sublane, lane) layout.
+    """
+    ii = jnp.arange(planes.shape[0], dtype=jnp.int32)[:, None, None]
+    zero = jnp.zeros((), dtype=planes.dtype)
+    return jnp.sum(jnp.where(ii == k[None], planes, zero), axis=0,
+                   dtype=acc_dtype)
+
+
+def match_dmajor_xla(cost_dm: jnp.ndarray, levels: int, lam: float
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pyramid + backtracking on a D-MAJOR (D, H0, W0) volume, in XLA.
+
+    The large-D path (SURVEY.md §7 M3): disparity ranges whose VMEM
+    block cannot fit the fused pyramid kernel (pyramid_pallas.fits*)
+    run here.  The aggregation runs as sequential D-SLAB kernel calls
+    with per-level halo planes (pyramid_pallas.aggregate_slabs — the
+    one-chip analogue of parallel/ringd.py) where the geometry allows,
+    else in XLA with leading-axis pools; either way every backtracking
+    select is a leading-axis one-hot reduce, so nothing relays out the
+    minor (H, W) tiles the way the D-minor fallback did per level.
+    Bit-identical to build_pyramid + backtrack (same ops, same order,
+    transposed layout).
+    """
+    d0 = cost_dm.shape[0]
+    if pyramid_pallas.slab_supported(d0, cost_dm.shape[1],
+                                     cost_dm.shape[2], levels):
+        # Slab-kernel aggregation emits DUPLICATED-CELL maps (every
+        # level at full spatial resolution), so the descent needs no
+        # spatial upsampling — k is born full-res.
+        cur, args = pyramid_pallas.aggregate_slabs(cost_dm, levels, lam)
+        k = jnp.argmax(cur, axis=0).astype(jnp.int32)
+        for arg in reversed(args):
+            off = _select_dmajor(arg, k, jnp.int32)
+            k = 2 * k + off
+    else:
+        args = []
+        cur = cost_dm
+        for _ in range(levels):
+            pooled, arg = pool_ops.pool3_subsample_dmajor(cur)
+            cur = pool_ops.aggregate_children_dmajor(pooled, lam)
+            args.append(arg)
+        # Leading-axis argmax: first-max (smallest d) ties, always.
+        k = jnp.argmax(cur, axis=0).astype(jnp.int32)
+        for arg in reversed(args):
+            kr = jnp.repeat(jnp.repeat(k, 2, axis=0), 2, axis=1)
+            off = _select_dmajor(arg.astype(jnp.int32), kr, jnp.int32)
+            k = 2 * kr + off
+    score = _select_dmajor(cost_dm, k, jnp.float32)
+    return k, score
+
+
 # ---------------------------------------------------------------------------
 # Single-direction pipeline on a padded grayscale image pair
 # ---------------------------------------------------------------------------
@@ -153,17 +210,17 @@ def match_from_descriptors(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
             return pyramid_pallas.pyramid_backtrack(
                 cost_dm, geom.levels, cfg.lam)
     if impl == "pallas":
-        # VMEM-oversized volume (pyramid_pallas.fits False, e.g. KITTI
-        # w0=320 D>=128): Pallas cost volume + XLA pyramid/backtrack.
+        # VMEM-oversized volume (pyramid_pallas.fits* False, e.g.
+        # KITTI w0=320 D>=256): Pallas D-major cost volume + D-MAJOR
+        # XLA pyramid/backtrack — leading-axis pools and selects, no
+        # per-level lane relayouts (match_dmajor_xla).
         with jax.named_scope("costvol"):
-            cost0 = costvol_pallas.cost_volume(
+            cost_dm = costvol_pallas.cost_volume_dmajor(
                 desc_src, desc_tgt, geom.disparities, cfg.patch_size,
                 cfg.max_disparity, reverse=reverse,
                 origin_offset=origin_offset)
-        with jax.named_scope("pyramid"):
-            maps, args = build_pyramid(cost0, geom.levels, cfg.lam)
-        with jax.named_scope("backtrack"):
-            return backtrack(maps, args)
+        with jax.named_scope("pyramid_backtrack_dmajor"):
+            return match_dmajor_xla(cost_dm, geom.levels, cfg.lam)
     with jax.named_scope("costvol"):
         cost0 = costvol_ops.cost_volume(
             desc_src, desc_tgt, geom.disparities, cfg.patch_size,
@@ -190,6 +247,18 @@ def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
     if impl == "fused" and not reverse and fused_pallas.supported(cfg, geom):
         with jax.named_scope("fused_match"):
             return fused_pallas.match_rows(left, right, cfg, geom)
+    if (impl == "fused" and not reverse
+            and fused_pallas.cost_supported(cfg, geom)
+            and cfg.dtype == "float32"):
+        # Large-D fused prologue: image -> D-major cost volume in one
+        # kernel (no descriptor HBM round-trips), then the D-slab
+        # pyramid + leading-axis backtracking.  Same tolerance class
+        # as the full fused kernel (algebraic normalisation).
+        with jax.named_scope("fused_costvol"):
+            cost_dm = fused_pallas.cost_volume_rows(left, right, cfg,
+                                                    geom)
+        with jax.named_scope("pyramid_backtrack_dmajor"):
+            return match_dmajor_xla(cost_dm, geom.levels, cfg.lam)
     with jax.named_scope("descriptors"):
         desc_src = descriptors.left_descriptors(left, cfg)
         desc_tgt = descriptors.right_sliding_descriptors(right, cfg)

@@ -595,3 +595,78 @@ def match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
     return _match_rows(left_p, right_p, cfg.patch_size, geom.disparities,
                        cfg.max_disparity, geom.levels, cfg.lam,
                        dot_precision(cfg), cfg.dtype, use_interpret())
+
+
+# ---------------------------------------------------------------------------
+# Fused image -> D-major COST VOLUME kernel (the large-D prologue):
+# the same raw-image phasing / norms / disparity loop as the full fused
+# kernel, but writing the (D, H0, W0) volume to HBM instead of running
+# the VMEM-resident pyramid — for volumes too large for `supported`.
+# Replaces the XLA descriptor stage + descriptor-fed cost kernel (whose
+# phased descriptor tensors are ~8x the image and round-trip HBM);
+# pairs with pyramid_pallas.aggregate_slabs via
+# models/pipeline.py:match_dmajor_xla.  Same tolerance class as the
+# fused kernel (algebraic normalisation; bench gates decisions).
+# ---------------------------------------------------------------------------
+
+
+def _cost_only_kernel(l_ref, r_ref, out_ref, *, p: int, d0: int,
+                      max_d: int, qh: int, prec: str, dtype):
+    out_ref[...] = _cost_block(l_ref[...], r_ref[...], p=p, d0=d0,
+                               max_d=max_d, qh=qh, prec=prec, dtype=dtype)
+
+
+def cost_supported(cfg: Config, geom: Geometry) -> bool:
+    """True when `cost_volume_rows` covers this configuration."""
+    if cfg.descriptor != "patch" or cfg.center_descriptors:
+        return False
+    h0, w0 = geom.grid_h, geom.grid_w
+    itemsize = jnp.dtype(cfg.dtype).itemsize
+    # Minimum row block's volume block must stay double-bufferable.
+    return (h0 % 8 == 0 and (w0 * cfg.patch_size) % 128 == 0
+            and geom.disparities * 8 * w0 * itemsize <= 3 * 1024 * 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "d0", "max_d", "prec",
+                                             "dtype", "interpret"))
+def _cost_volume_rows(left_p, right_p, p: int, d0: int, max_d: int,
+                      prec: str, dtype: str, interpret: bool):
+    hp, wp = left_p.shape
+    h0, w0 = hp // p, wp // p
+    qh = (max_d - 1) // p + 2
+    itemsize = jnp.dtype(dtype).itemsize
+    # Largest row block whose double-buffered volume block stays small
+    # (the out block dominates VMEM here; no pyramid transients).
+    bh = 8
+    for m in range(8, 65, 8):
+        if h0 % m == 0 and d0 * m * w0 * itemsize <= 5 * 1024 * 1024 // 2:
+            bh = m
+    kernel = functools.partial(_cost_only_kernel, p=p, d0=d0, max_d=max_d,
+                               qh=qh, prec=prec, dtype=jnp.dtype(dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(h0 // bh,),
+        in_specs=[pl.BlockSpec((bh * p, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((d0, bh, w0), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d0, h0, w0), jnp.dtype(dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hp * wp * 128 * 2 + 2 * max_d * h0 * w0 * (p * p + p),
+            bytes_accessed=4 * 2 * hp * wp + itemsize * d0 * h0 * w0,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(left_p, right_p)
+
+
+def cost_volume_rows(left_p: jnp.ndarray, right_p: jnp.ndarray,
+                     cfg: Config, geom: Geometry) -> jnp.ndarray:
+    """Padded f32 pixel pair -> (D, H0, W0) D-major cost volume.
+
+    Callers must check `cost_supported(cfg, geom)` first.
+    """
+    return _cost_volume_rows(left_p, right_p, cfg.patch_size,
+                             geom.disparities, cfg.max_disparity,
+                             dot_precision(cfg), cfg.dtype,
+                             use_interpret())

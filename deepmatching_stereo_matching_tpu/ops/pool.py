@@ -63,3 +63,40 @@ def aggregate_children(sub: jnp.ndarray, lam: float) -> jnp.ndarray:
               + (quad[:, 1, :, 0] + quad[:, 1, :, 1])
               ) * jnp.asarray(0.25, sub.dtype)
     return jnp.power(merged, jnp.asarray(lam, sub.dtype))
+
+
+def pool3_subsample_dmajor(maps: jnp.ndarray,
+                           lo_pad: jnp.ndarray | None = None
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`pool3_subsample` on the D-MAJOR (D, H, W) layout.
+
+    Identical values and tie order; the even/odd deinterleave becomes a
+    LEADING-axis stride, which XLA performs without touching the minor
+    (sublane, lane) register tiling — this is what makes the XLA
+    pyramid viable for large D (the D-minor layout pays a lane-axis
+    relayout per slice; measured the dominant cost of the old KITTI
+    large-D fallback).
+    """
+    even = maps[0::2]                                     # d = 2k
+    odd = maps[1::2]                                      # d = 2k+1
+    if lo_pad is None:
+        pad = jnp.full((1,) + maps.shape[1:], -1.0, dtype=maps.dtype)
+    else:
+        pad = lo_pad.astype(maps.dtype)[None]
+    lo = jnp.concatenate([pad, odd[:-1]], axis=0)         # d = 2k-1
+    pooled = jnp.maximum(jnp.maximum(lo, even), odd)
+    arg = jnp.where(
+        pooled == lo, jnp.int8(-1),
+        jnp.where(pooled == even, jnp.int8(0), jnp.int8(1)))
+    return pooled, arg
+
+
+def aggregate_children_dmajor(sub: jnp.ndarray, lam: float) -> jnp.ndarray:
+    """`aggregate_children` on the D-MAJOR (K, H, W) layout (same
+    values, same ((q00+q01)+(q10+q11))*0.25 order)."""
+    k, h, w = sub.shape
+    quad = sub.reshape(k, h // 2, 2, w // 2, 2)
+    merged = ((quad[:, :, 0, :, 0] + quad[:, :, 0, :, 1])
+              + (quad[:, :, 1, :, 0] + quad[:, :, 1, :, 1])
+              ) * jnp.asarray(0.25, sub.dtype)
+    return jnp.power(merged, jnp.asarray(lam, sub.dtype))

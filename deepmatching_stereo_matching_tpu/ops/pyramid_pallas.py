@@ -284,14 +284,148 @@ def fits_solo(d: int, h0: int, w0: int, levels: int,
               itemsize: int = 4) -> bool:
     """Like `fits`, but for a SEQUENTIALLY executed instance (callers
     replace their direction/batch vmap with lax.map — the large-D path,
-    models/pipeline.py `large=True`).  One instance's block plus ~2x
-    transients must fit the 16 MB scoped-VMEM cap alone (measured:
-    KITTI D=256 levels=4 — a 5.2 MB block — compiles and runs solo)."""
+    models/pipeline.py `large=True`).
+
+    Empirical envelope (probed on chip, 2026-08): one instance's 5.2 MB
+    block compiles at grid (1, 1) but the SAME block crashes the remote
+    compile helper when the grid has multiple steps (Mosaic
+    double-buffers the input block across steps), and D = 256 crashes
+    at ANY block size; volumes outside this envelope take the D-major
+    XLA pyramid instead (models/pipeline.py:match_dmajor_xla)."""
     unit = 2 ** levels
-    if h0 % unit or w0 % unit or d % unit:
+    if h0 % unit or w0 % unit or d % unit or d > 128:
         return False
     bh, wb = _pick_blocks(h0, w0, d, unit, itemsize)
-    return d * bh * wb * itemsize <= 6 * 1024 * 1024
+    nbytes = d * bh * wb * itemsize
+    grid = (h0 // bh) * (w0 // wb)
+    return nbytes <= 6 * 1024 * 1024 and (grid == 1
+                                          or nbytes <= 2 * 1024 * 1024)
+
+
+# ---------------------------------------------------------------------------
+# D-slab aggregation kernel (the LARGE-D pyramid, SURVEY.md §7 M3 /
+# hard part 4): volumes whose full disparity axis cannot sit in one
+# kernel instance's VMEM are aggregated as a SEQUENCE of D-slab kernel
+# calls — the on-chip analogue of parallel/ringd.py's decomposition.
+# Each slab call pools its local planes (the 3-wide window needs ONE
+# halo plane per level from the previous slab, threaded through HBM),
+# merges spatially with the duplicated-cell scheme, and emits its
+# recorded pool offsets + top planes; the cheap global argmax +
+# backtracking then run on the concatenated results in XLA
+# (models/pipeline.py:match_dmajor_xla).  Bit-identical to the
+# unsharded pyramid: the halo-augmented pool is pool_ops.pool3_subsample
+# (lo_pad=...) semantics, proven bitwise by parallel/ringd.py's tests.
+# ---------------------------------------------------------------------------
+
+
+def _slab_kernel(vol_ref, *rest, levels: int, lam: float):
+    halos = rest[:levels]
+    args_out = rest[levels:2 * levels]
+    bounds_out = rest[2 * levels:3 * levels]
+    top_ref = rest[3 * levels]
+    cur = vol_ref[...]
+    dt = cur.dtype
+    _, bh, wb = cur.shape
+    for lvl in range(levels):
+        d_l = cur.shape[0]
+        half = cur.reshape(d_l // 2, 2, bh, wb)
+        even = half[:, 0]
+        odd = half[:, 1]
+        # Next slab's lo halo at this level = our last odd plane.
+        # (Positive static index: negative indexing lowers to the
+        # unsupported dynamic_slice primitive in Mosaic.)
+        bounds_out[lvl][...] = odd[d_l // 2 - 1]
+        lo_first = halos[lvl][...][None].astype(dt)
+        if d_l == 2:
+            lo = lo_first
+        else:
+            lo = jnp.concatenate([lo_first, odd[:-1]], axis=0)
+        pooled = jnp.maximum(jnp.maximum(lo, even), odd)
+        # int32 offsets: int8/int16 selects crash Mosaic (probed on
+        # chip); the small slab keeps the int32 args outputs inside
+        # the per-grid-step VMEM budget instead.
+        arg = jnp.where(pooled == lo, jnp.int32(-1),
+                        jnp.where(pooled == even, jnp.int32(0),
+                                  jnp.int32(1)))
+        args_out[lvl][...] = arg
+        s = 2 ** lvl
+        b = _pair_sum(pooled, s, axis=2)
+        m = _pair_sum(b, s, axis=1)
+        cur = _rectify(m * jnp.asarray(0.25, dt), lam, dt, False)
+    top_ref[...] = cur
+
+
+def slab_supported(d: int, h0: int, w0: int, levels: int,
+                   slab: int = 32) -> bool:
+    """True when `aggregate_slabs` covers this geometry."""
+    unit = 2 ** levels
+    return (d > slab and d % slab == 0 and slab % unit == 0
+            and h0 % unit == 0 and w0 % unit == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "lam", "slab",
+                                             "interpret"))
+def _aggregate_slabs(cost_dm, levels: int, lam: float, slab: int,
+                     interpret: bool):
+    d, h0, w0 = cost_dm.shape
+    unit = 2 ** levels
+    bh, wb = _pick_blocks(h0, w0, slab, unit, cost_dm.dtype.itemsize)
+    plane = jax.ShapeDtypeStruct((h0, w0), cost_dm.dtype)
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct((slab >> (l + 1), h0, w0), jnp.int32)
+         for l in range(levels)]
+        + [plane] * levels
+        + [jax.ShapeDtypeStruct((slab >> levels, h0, w0),
+                                cost_dm.dtype)])
+    pspec = pl.BlockSpec((bh, wb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    out_specs = tuple(
+        [pl.BlockSpec((slab >> (l + 1), bh, wb), lambda i, j: (0, i, j),
+                      memory_space=pltpu.VMEM) for l in range(levels)]
+        + [pspec] * levels
+        + [pl.BlockSpec((slab >> levels, bh, wb),
+                        lambda i, j: (0, i, j),
+                        memory_space=pltpu.VMEM)])
+    call = pl.pallas_call(
+        functools.partial(_slab_kernel, levels=levels, lam=lam),
+        grid=(h0 // bh, w0 // wb),
+        in_specs=[pl.BlockSpec((slab, bh, wb), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM)]
+        + [pspec] * levels,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * slab * h0 * w0,
+            bytes_accessed=cost_dm.dtype.itemsize * slab * h0 * w0 * 2,
+            transcendentals=2 * slab * h0 * w0,
+        ),
+        interpret=interpret,
+    )
+    halos = [jnp.full((h0, w0), -1.0, cost_dm.dtype)
+             for _ in range(levels)]
+    args = [[] for _ in range(levels)]
+    tops = []
+    for k in range(d // slab):
+        outs = call(cost_dm[k * slab:(k + 1) * slab], *halos)
+        for l in range(levels):
+            args[l].append(outs[l])
+        halos = list(outs[levels:2 * levels])
+        tops.append(outs[2 * levels])
+    return ([jnp.concatenate(tops, axis=0)]
+            + [jnp.concatenate(a, axis=0) for a in args])
+
+
+def aggregate_slabs(cost_dm: jnp.ndarray, levels: int, lam: float,
+                    slab: int = 32):
+    """(D, H0, W0) D-major volume -> (top_map, [args per level]).
+
+    Sequential D-slab kernel calls with per-level halo planes; callers
+    must check `slab_supported` first.  Returns the top-level map
+    (D/2**levels, H0, W0) and the recorded int32 pool offsets per level
+    ((D/2**(l+1), H0, W0)) — identical values to build_pyramid's.
+    """
+    out = _aggregate_slabs(cost_dm, levels, lam, slab, use_interpret())
+    return out[0], out[1:]
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "lam", "interpret"))

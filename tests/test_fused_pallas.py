@@ -127,3 +127,33 @@ def test_fused_bf16_quality():
     rate = metrics.bad_pixel_rate(np.asarray(out["disparity"]), gt,
                                   count_invalid=False)
     assert rate < 0.10, rate
+
+
+def test_cost_volume_rows_matches_descriptor_path():
+    """Fused image->cost-volume kernel (the large-D prologue) scores
+    ~equal to the exact descriptor-path volume; disparity decisions
+    through the same pyramid match on non-degenerate data."""
+    from deepmatching_stereo_matching_tpu.models import (
+        descriptors as desc_mod, pipeline)
+    from deepmatching_stereo_matching_tpu.ops import costvol_pallas
+
+    rng = np.random.default_rng(4)
+    h, w, max_d = 96, 128, 24
+    cfg = Config(max_disparity=max_d, levels=2)
+    geom = cfg.geometry(h, w)
+    assert fused_pallas.cost_supported(cfg, geom)
+    field = synthetic.block_disparity_field(h, w, max_d, rng, block=16)
+    left, right, _ = synthetic.make_pair(h, w, field, seed=4)
+    lp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left), geom))
+    rp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right), geom))
+    got = np.asarray(fused_pallas.cost_volume_rows(lp, rp, cfg, geom))
+    ds = desc_mod.left_descriptors(lp, cfg)
+    dt = desc_mod.right_sliding_descriptors(rp, cfg)
+    want = np.asarray(costvol_pallas.cost_volume_dmajor(
+        ds, dt, geom.disparities, cfg.patch_size, cfg.max_disparity))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    gk, _ = pipeline.match_dmajor_xla(jnp.asarray(got), geom.levels,
+                                      cfg.lam)
+    wk, _ = pipeline.match_dmajor_xla(jnp.asarray(want), geom.levels,
+                                      cfg.lam)
+    assert np.mean(np.asarray(gk) != np.asarray(wk)) < 0.005

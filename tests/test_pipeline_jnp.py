@@ -218,3 +218,18 @@ def test_match_padded_core_large_serial_bitwise():
         else:
             np.testing.assert_array_equal(np.asarray(a[k]),
                                           np.asarray(b[k]), err_msg=k)
+
+
+def test_match_dmajor_xla_bitwise():
+    """D-major XLA pyramid+backtrack (the large-D fallback) is
+    bit-identical to the canonical (H, W, D) build_pyramid+backtrack."""
+    rng = np.random.default_rng(5)
+    for d, h0, w0, levels in [(32, 16, 24, 2), (96, 8, 16, 3)]:
+        vol = np.maximum(
+            rng.standard_normal((h0, w0, d)).astype("f4"), 0.0)
+        maps, args = pipeline.build_pyramid(jnp.asarray(vol), levels, 1.4)
+        wk, ws = pipeline.backtrack(maps, args)
+        gk, gs = pipeline.match_dmajor_xla(
+            jnp.moveaxis(jnp.asarray(vol), -1, 0), levels, 1.4)
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
+        np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))

@@ -41,19 +41,15 @@ def main():
     for max_d, batch in ((128, 4), (256, 4)):
         cfg = Config(max_disparity=max_d)
         geom = cfg.geometry(KH, KW)
-        fused_ok = fused_pallas.supported(cfg, geom)
+        # Large-D fast path (VERDICT r3 item 4): the fused image ->
+        # D-major cost-volume kernel + D-slab pyramid aggregation
+        # (pipeline routes it under impl="fused" via
+        # fused_pallas.cost_supported); "pallas" remains the exact
+        # two-kernel comparison arm.
+        fused_ok = (fused_pallas.supported(cfg, geom)
+                    or fused_pallas.cost_supported(cfg, geom))
         impl = "fused" if fused_ok else "pallas"
-        # Large-D fast path (VERDICT r3 item 4): when the pyramid
-        # kernel's block only fits scoped VMEM SOLO, run pairs and
-        # directions sequentially (lax.map) so the kernel replaces the
-        # XLA pyramid fallback.
-        large = (impl == "pallas"
-                 and not pyramid_pallas.fits(
-                     geom.disparities, geom.grid_h, geom.grid_w,
-                     geom.levels)
-                 and pyramid_pallas.fits_solo(
-                     geom.disparities, geom.grid_h, geom.grid_w,
-                     geom.levels))
+        large = False
         lp, rp = [], []
         for i in range(batch):
             rng = np.random.default_rng(i)
@@ -68,26 +64,48 @@ def main():
 
         from deepmatching_stereo_matching_tpu.utils import timing
 
-        if large:
-            step = jax.jit(lambda a, b: jax.lax.map(
-                lambda xy: pipeline.match_padded_core(
-                    xy[0], xy[1], cfg, geom, "pallas", large=True),
-                (a, b)))
-        else:
-            step = jax.jit(lambda a, b: jax.vmap(
-                lambda x, y: pipeline.match_padded_core(x, y, cfg, geom,
-                                                        impl))(a, b))
+        step = jax.jit(lambda a, b: jax.vmap(
+            lambda x, y: pipeline.match_padded_core(x, y, cfg, geom,
+                                                    impl))(a, b))
         t0 = time.perf_counter()
         out = step(ls, rs)
         np.asarray(out["disparity"][0, 0, 0])
         compile_s = time.perf_counter() - t0
+
+        # Parity gate at this geometry (VERDICT r3 item 4): the fused
+        # path's algebraic normalisation may flip near-tie decisions
+        # only (same 0.5% tolerance as bench.py's fused gate).
+        rng = np.random.default_rng(7)
+        field = synthetic.block_disparity_field(KH, KW, max_d, rng,
+                                                block=48)
+        gl, gr, _ = synthetic.make_pair(KH, KW, field, seed=7)
+        t0 = time.perf_counter()
+        want = oracle.match_stereo(gl, gr, cfg)
+        got = pipeline.match_padded(
+            jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(gl),
+                                         geom)),
+            jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(gr),
+                                         geom)),
+            cfg, KH, KW, impl)
+        raw_neq = float(np.mean(np.asarray(got["disparity_raw"])
+                                != want.disparity_raw))
+        val_neq = float(np.mean(np.asarray(got["valid"]) != want.valid))
+        print(f"parity[D={max_d}] raw_neq={raw_neq:.2e} "
+              f"val_neq={val_neq:.2e} "
+              f"(oracle took {time.perf_counter() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+        if raw_neq > 0.005 or val_neq > 0.005:
+            print(f"PARITY FAILURE at D={max_d}", file=sys.stderr,
+                  flush=True)
+            sys.exit(1)
 
         stats = timing.steady_state(step, (ls, rs), depths=(2, 6))
         t = stats["median"]
         mpxs = batch * KH * KW * 1e-6 / t
         row = {"height": KH, "width": KW, "max_disparity": max_d,
                "batch": batch,
-               "impl": ("pallas-large-serial" if large else impl),
+               "impl": impl,
+               "parity_raw_neq": raw_neq, "parity_val_neq": val_neq,
                "ms_per_step": round(t * 1e3, 2),
                "timing": {k: stats[k] for k in
                           ("median", "min", "max", "samples")},
