@@ -414,7 +414,13 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
         return acc
 
     def scale(raw, d):
-        """(bh, w0) row-reduced correlations -> masked cost plane."""
+        """(bh, w0) row-reduced correlations -> masked cost plane.
+
+        The p*j < d mask is load-bearing: a window STARTING left of
+        the image may still have in-range taps (partial window), so
+        the halo zeros alone do not reproduce the oracle's whole-patch
+        zero rule.
+        """
         dq, drem = divmod(d, p)
         s_n = dq + (1 if drem else 0)
         corr = raw * invl * shi((-d) % p, s_n)
