@@ -312,6 +312,7 @@ def sharded_smoke():
     bl, br, _ = synthetic.make_pair(H, W, field, seed=11)
     for strategy, mesh, merge_level in (
             ("wtiled", parallel.make_mesh2d(1, 1, 1), 1),
+            ("dslab", parallel.make_mesh(1, 1), None),
             ("ringd", parallel.make_mesh(1, 1), None)):
         lp = jnp.asarray(sharded.pad_batch([bl] * nb, bcfg, H, W, mesh,
                                            strategy, merge_level))

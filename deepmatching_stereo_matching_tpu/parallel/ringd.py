@@ -108,37 +108,44 @@ def _ringd_direction(srcs: jnp.ndarray, tgts: jnp.ndarray, cfg: Config,
         lambda s, t: sharded.slab_cost_volume(
             s, t, cfg, d_local, d_lo, reverse, impl)
     )(desc_src, desc_tgt)
+    # D-MAJOR slab pyramid: leading-axis pools/selects keep the minor
+    # (H, W) register tiles untouched on TPU (the D-minor formulation
+    # paid a lane relayout per pool — it was the dominant cost of the
+    # on-chip ringd smoke).  Values are identical in either layout.
+    cost = jnp.moveaxis(cost, -1, 1)            # (B_l, Dl, H0, W0)
 
-    def per_pair(cost0):                        # (H0, W0, Dl)
+    def per_pair(cost0):                        # (Dl, H0, W0)
         args = []
         cur = cost0
         for _ in range(geom.levels):
-            halo = _from_prev(cur[:, :, -1], "model", n_slab, -1.0)
-            sub, arg = pool_ops.pool3_subsample(cur, lo_pad=halo)
-            cur = pool_ops.aggregate_children(sub, cfg.lam)
+            halo = _from_prev(cur[cur.shape[0] - 1], "model", n_slab,
+                              -1.0)
+            sub, arg = pool_ops.pool3_subsample_dmajor(cur, lo_pad=halo)
+            cur = pool_ops.aggregate_children_dmajor(sub, cfg.lam)
             args.append(arg)
 
         # Global top-level argmax via the ring reduce.
-        n_top = cur.shape[-1]
-        k_loc = jnp.argmax(cur, axis=-1).astype(jnp.int32) + ax * n_top
-        v_loc = jnp.max(cur, axis=-1)
+        n_top = cur.shape[0]
+        k_loc = jnp.argmax(cur, axis=0).astype(jnp.int32) + ax * n_top
+        v_loc = jnp.max(cur, axis=0)
         _, k = _ring_argmax(v_loc, k_loc, "model", n_slab)
 
         # Top-down: exactly one slab owns each cell's bin and supplies
         # the recorded pool offset; psum broadcasts it everywhere.
         for arg in reversed(args):
-            n_loc = arg.shape[-1]
+            n_loc = arg.shape[0]
             kr = jnp.repeat(jnp.repeat(k, 2, axis=0), 2, axis=1)
             k_rel = kr - ax * n_loc
             mine = (k_rel >= 0) & (k_rel < n_loc)
-            off = pipeline._select_at(
-                arg, jnp.clip(k_rel, 0, n_loc - 1), jnp.int32)
+            off = pipeline._select_dmajor(
+                arg.astype(jnp.int32), jnp.clip(k_rel, 0, n_loc - 1),
+                jnp.int32)
             off = jax.lax.psum(jnp.where(mine, off, 0), "model")
             k = 2 * kr + off
 
         k_rel = k - d_lo
         mine = (k_rel >= 0) & (k_rel < d_local)
-        sc = pipeline._select_at(
+        sc = pipeline._select_dmajor(
             cost0, jnp.clip(k_rel, 0, d_local - 1), jnp.float32)
         sc = jax.lax.psum(jnp.where(mine, sc, 0.0), "model")
         return k, sc

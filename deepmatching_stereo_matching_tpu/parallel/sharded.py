@@ -134,17 +134,20 @@ def _dslab_direction(srcs: jnp.ndarray, tgts: jnp.ndarray, cfg: Config,
         lambda x: descriptors.left_descriptors(x, cfg))(srcs)
     desc_tgt = jax.vmap(
         lambda x: descriptors.right_sliding_descriptors(x, cfg))(tgts)
-    # Local disparity slab of the cost volume: (B_l, H0, W0, Dl).
+    # Local disparity slab of the cost volume: (B_l, H0, W0, Dl),
+    # immediately re-laid D-MAJOR (leading-axis pools on TPU).
     cost_slab = jax.vmap(
         lambda s, t: slab_cost_volume(s, t, cfg, d_local, d0, reverse,
                                       impl))(desc_src, desc_tgt)
-    # Ulysses-style reshard: disparity-major -> spatial-major.
-    cost = jax.lax.all_to_all(cost_slab, "model", split_axis=1,
-                              concat_axis=3, tiled=True)
-    # (B_l, H0/n, W0, D): pyramid + backtracking run H-local.
+    cost_slab = jnp.moveaxis(cost_slab, -1, 1)    # (B_l, Dl, H0, W0)
+    # Ulysses-style reshard: disparity-sharded -> spatial-sharded.
+    cost = jax.lax.all_to_all(cost_slab, "model", split_axis=2,
+                              concat_axis=1, tiled=True)
+    # (B_l, D, H0/n, W0): pyramid + backtracking run H-local on the
+    # D-major layout (bit-identical values, models/pipeline.py).
     return jax.vmap(
-        lambda c: pipeline.backtrack(
-            *pipeline.build_pyramid(c, geom.levels, cfg.lam)))(cost)
+        lambda c: pipeline.match_dmajor_xla(c, geom.levels, cfg.lam)
+    )(cost)
 
 
 def match_batch_dslab(lefts_p: jnp.ndarray, rights_p: jnp.ndarray,
