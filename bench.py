@@ -391,9 +391,16 @@ def grad_hist_mpxs(pairs):
     from deepmatching_stereo_matching_tpu.oracle import reference as oracle
     from deepmatching_stereo_matching_tpu.utils import metrics, timing
 
+    from deepmatching_stereo_matching_tpu.ops import fused_pallas
+
     cfg = dataclasses.replace(bench_config(), descriptor="grad_hist")
     geom = cfg.geometry(H, W)
-    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if jax.default_backend() != "tpu":
+        impl = "jnp"
+    elif fused_pallas.supported(cfg, geom):
+        impl = "fused"   # F=8 feature-interleaved fused kernel
+    else:
+        impl = "pallas"
     lp = np.stack([oracle.pad_image(oracle.to_grayscale_f32(l), geom)
                    for l, _, _ in pairs])
     rp = np.stack([oracle.pad_image(oracle.to_grayscale_f32(r), geom)
@@ -411,7 +418,7 @@ def grad_hist_mpxs(pairs):
     rates = [metrics.bad_pixel_rate(disp[i], pairs[i][2],
                                     count_invalid=False)
              for i in range(BATCH)]
-    log(f"grad_hist two-kernel: {timing.fmt(stats)}/step = {v:.1f} "
+    log(f"grad_hist: {timing.fmt(stats)}/step = {v:.1f} "
         f"Mpx/s (impl={impl}), mean kept-pixel bad rate "
         f"{float(np.mean(rates)):.4f}")
     return v

@@ -335,10 +335,21 @@ def _cost_block_rowphase(left: jnp.ndarray, right: jnp.ndarray, *, p: int,
 
 
 def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
-                max_d: int, qh: int, prec: str, dtype) -> jnp.ndarray:
-    """(bp, Wp) f32 image row blocks -> (d0, bp//p, Wp//p) cost block."""
+                max_d: int, qh: int, prec: str, dtype,
+                f_feat: int = 1) -> jnp.ndarray:
+    """(bp, Wp) f32 FEATURE row blocks -> (d0, bp//(p*F), Wp//p) costs.
+
+    For multi-feature descriptors (grad_hist: F = 8 orientation bins)
+    the rows are the FEATURE-INTERLEAVED image: row y*F + f holds
+    feature f of pixel row y.  The descriptor dot sums over
+    (row, column, feature) = (dr, dc, f); since phasing acts on
+    COLUMNS only and the row-compaction is just "sum groups of
+    consecutive rows", the whole kernel works unchanged with the row
+    group widened from p to p*F — the patch case is F = 1.
+    """
     bp, wp = left.shape
-    bh, w0 = bp // p, wp // p
+    g = p * f_feat
+    bh, w0 = bp // g, wp // p
 
     # Phased columns of both images via exact selection matmuls:
     # NR[o][y, qh + q] = right[y, p*q + o] (0 in the qh-column halo —
@@ -346,13 +357,13 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     # (every use below slices [qh : qh + w0]).
     nl = _phase_all(left, p, prec)                  # p x (bp, w0)
     nr = [_with_halo(ph, qh) for ph in _phase_all(right, p, prec)]
-    cpt = _row_compaction(bh, bp, p) if _ROW_SUM == "matmul" else None
+    cpt = _row_compaction(bh, bp, g) if _ROW_SUM == "matmul" else None
 
     def rows(x):
-        """Sum the p patch rows: (bp, n) -> (bh, n)."""
+        """Sum each patch's p*F feature rows: (bp, n) -> (bh, n)."""
         if cpt is not None:
             return _dot_sel_arb(cpt, x, prec)
-        return x.reshape(bh, p, x.shape[-1]).sum(axis=1)
+        return x.reshape(bh, g, x.shape[-1]).sum(axis=1)
 
     # Left patch norms: nl2[i, j] = sum_{dr,dc} left[p*i+dr, p*j+dc]^2.
     m2 = None
@@ -448,7 +459,7 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
         def red(x):
             if dloop_rows == "matmul" and cpt is not None:
                 return _dot_sel_arb(cpt, x, prec)
-            return x.reshape(bh, p, w0).sum(axis=1)
+            return x.reshape(bh, g, w0).sum(axis=1)
 
         on = set(live)
         costs = [scale(red(acc_for(d)), d) if d in on else zero_plane
@@ -459,11 +470,15 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
 
 def _kernel(l_ref, r_ref, disp_ref, score_ref, *scratch, p: int, d0: int,
             max_d: int, qh: int, levels: int, lam: float, prec: str,
-            dtype):
-    block = (_cost_block_rowphase if _PHASING == "rowphase"
-             else _cost_block)
-    cost0 = block(l_ref[...], r_ref[...], p=p, d0=d0, max_d=max_d,
-                  qh=qh, prec=prec, dtype=dtype)
+            dtype, f_feat: int = 1):
+    if _PHASING == "rowphase" and f_feat == 1:
+        cost0 = _cost_block_rowphase(l_ref[...], r_ref[...], p=p, d0=d0,
+                                     max_d=max_d, qh=qh, prec=prec,
+                                     dtype=dtype)
+    else:
+        cost0 = _cost_block(l_ref[...], r_ref[...], p=p, d0=d0,
+                            max_d=max_d, qh=qh, prec=prec, dtype=dtype,
+                            f_feat=f_feat)
     if _SKIP_PYRAMID:
         # Ablation arm: consume the volume with a trivial reduce so the
         # prologue + disparity loop can be timed without the pyramid.
@@ -486,7 +501,8 @@ def _kernel(l_ref, r_ref, disp_ref, score_ref, *scratch, p: int, d0: int,
 
 
 def _block_rows(h0: int, unit: int, d0: int = 64, w0: int = 128,
-                p: int = 4, qh: int = 17, itemsize: int = 4) -> int:
+                p: int = 4, qh: int = 17, itemsize: int = 4,
+                f_feat: int = 1) -> int:
     """Patch rows per grid step.
 
     Bigger blocks raise the selection matmuls' M dimension (M = bh*p
@@ -502,33 +518,44 @@ def _block_rows(h0: int, unit: int, d0: int = 64, w0: int = 128,
     if _BLOCK_ROWS_OVERRIDE is not None:
         return _BLOCK_ROWS_OVERRIDE
     base = unit * 8 // math.gcd(unit, 8)
+    # Row cap: full-width (selmm) selection IR crashes the compile
+    # helper at M >= 384; the chunked selections compile at least to
+    # M = 512 (measured: bh=96 patch blocks and bh=16 grad_hist blocks
+    # both build) — the cap is what admits F = 8 descriptors.
+    cap = 512 if _PHASING == "chunk" else 192
     best = None
     m = base
-    while m < h0 and m * p <= 192:
-        if h0 % m == 0 and _vmem_estimate(d0, m, w0, p, qh,
-                                          itemsize) <= _VMEM_BUDGET:
+    while m < h0 and m * p * f_feat <= cap:
+        if h0 % m == 0 and _vmem_estimate(d0, m, w0, p, qh, itemsize,
+                                          f_feat) <= _VMEM_BUDGET:
             best = m
         m += base
     return best if best is not None else h0
 
 
 def _vmem_estimate(d0: int, bh: int, w0: int, p: int, qh: int,
-                   itemsize: int) -> int:
+                   itemsize: int, f_feat: int = 1) -> int:
     vol = d0 * bh * w0 * itemsize
-    phased = 2 * p * (bh * p) * (w0 + qh) * 4
-    images = 2 * (bh * p) * (w0 * p) * 4
+    phased = 2 * p * (bh * p * f_feat) * (w0 + qh) * 4
+    images = 2 * (bh * p * f_feat) * (w0 * p) * 4
     return 2 * vol + phased + images      # pyramid transients ~1x vol
+
+
+def _n_features(cfg: Config) -> int:
+    return 1 if cfg.descriptor == "patch" else 8
 
 
 def supported(cfg: Config, geom: Geometry) -> bool:
     """True when the fused kernel covers this configuration.
 
-    Ineligible configs (gradient-histogram descriptors, centered
-    descriptors, VMEM-oversized volumes, unaligned tile geometries)
-    fall back to the exact two-kernel path in models/pipeline.py.
+    Both descriptor modes are covered ('grad_hist' runs the kernel on
+    feature-interleaved rows, F = 8); centered descriptors,
+    VMEM-oversized volumes, and unaligned tile geometries fall back to
+    the exact two-kernel path in models/pipeline.py.
     """
-    if cfg.descriptor != "patch" or cfg.center_descriptors:
+    if cfg.center_descriptors:
         return False
+    f = _n_features(cfg)
     unit = 2 ** geom.levels
     h0, w0 = geom.grid_h, geom.grid_w
     if w0 % unit or h0 % unit or geom.disparities % unit:
@@ -536,33 +563,34 @@ def supported(cfg: Config, geom: Geometry) -> bool:
     itemsize = jnp.dtype(cfg.dtype).itemsize
     qh = (cfg.max_disparity - 1) // cfg.patch_size + 2
     bh = _block_rows(h0, unit, geom.disparities, w0, cfg.patch_size, qh,
-                     itemsize)
+                     itemsize, f)
     if bh % unit:
         return False
     return _vmem_estimate(geom.disparities, bh, w0, cfg.patch_size, qh,
-                          itemsize) <= _VMEM_BUDGET
+                          itemsize, f) <= _VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("p", "d0", "max_d", "levels",
                                              "lam", "prec", "dtype",
-                                             "interpret"))
+                                             "interpret", "f_feat"))
 def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
                 max_d: int, levels: int, lam: float, prec: str, dtype: str,
-                interpret: bool):
+                interpret: bool, f_feat: int = 1):
     hp, wp = left_p.shape
-    h0, w0 = hp // p, wp // p
+    g = p * f_feat
+    h0, w0 = hp // g, wp // p
     unit = 2 ** levels
-    if hp % p or wp % p or w0 % unit or h0 % unit or d0 % unit:
+    if hp % g or wp % p or w0 % unit or h0 % unit or d0 % unit:
         raise ValueError(
-            f"padded pair {left_p.shape} not aligned to patch {p} / "
-            f"quadtree unit {unit}")
+            f"padded pair {left_p.shape} not aligned to patch {p} "
+            f"(x{f_feat} features) / quadtree unit {unit}")
     qh = (max_d - 1) // p + 2
     itemsize_pick = jnp.dtype(dtype).itemsize
-    bh = _block_rows(h0, unit, d0, w0, p, qh, itemsize_pick)
+    bh = _block_rows(h0, unit, d0, w0, p, qh, itemsize_pick, f_feat)
     kernel = functools.partial(_kernel, p=p, d0=d0, max_d=max_d, qh=qh,
                                levels=levels, lam=lam, prec=prec,
-                               dtype=jnp.dtype(dtype))
-    in_spec = pl.BlockSpec((bh * p, wp), lambda i: (i, 0),
+                               dtype=jnp.dtype(dtype), f_feat=f_feat)
+    in_spec = pl.BlockSpec((bh * g, wp), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bh, w0), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -591,16 +619,35 @@ def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
     )(left_p, right_p)
 
 
+def interleave_features(feat: jnp.ndarray) -> jnp.ndarray:
+    """(Hp, Wp, F) pixel features -> (Hp*F, Wp) feature-interleaved rows
+    (row y*F + f holds feature f of pixel row y) — the layout
+    `_cost_block` consumes for multi-feature descriptors."""
+    hp, wp, f = feat.shape
+    return jnp.swapaxes(feat, 1, 2).reshape(hp * f, wp)
+
+
 def match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
                geom: Geometry):
     """Padded f32 pixel pair -> (disp_patch int32, score f32), (H0, W0).
 
-    Fused fast path for forward matching with 'patch' descriptors;
-    callers must check `supported(cfg, geom)` first.
+    Fused fast path for forward matching; callers must check
+    `supported(cfg, geom)` first.  grad_hist mode computes the 8-bin
+    pixel features in XLA (exact comparison binning,
+    models/descriptors.py) and feeds the kernel feature-interleaved
+    rows — 4x less HBM than the sliding-descriptor tensors of the
+    two-kernel path, and no descriptor round trips.
     """
+    f = _n_features(cfg)
+    if f > 1:
+        from ..models import descriptors as desc_mod
+
+        left_p = interleave_features(desc_mod.grad_hist_pixels(left_p))
+        right_p = interleave_features(desc_mod.grad_hist_pixels(right_p))
     return _match_rows(left_p, right_p, cfg.patch_size, geom.disparities,
                        cfg.max_disparity, geom.levels, cfg.lam,
-                       dot_precision(cfg), cfg.dtype, use_interpret())
+                       dot_precision(cfg), cfg.dtype, use_interpret(),
+                       f)
 
 
 # ---------------------------------------------------------------------------

@@ -80,7 +80,8 @@ def test_supported_gating():
     cfg = Config(max_disparity=64)
     geom = cfg.geometry(375, 450)
     assert fused_pallas.supported(cfg, geom)
-    assert not fused_pallas.supported(
+    # grad_hist is covered since r4 (feature-interleaved rows, F=8).
+    assert fused_pallas.supported(
         Config(max_disparity=64, descriptor="grad_hist"), geom)
     assert not fused_pallas.supported(
         Config(max_disparity=64, center_descriptors=True), geom)
@@ -157,3 +158,26 @@ def test_cost_volume_rows_matches_descriptor_path():
     wk, _ = pipeline.match_dmajor_xla(jnp.asarray(want), geom.levels,
                                       cfg.lam)
     assert np.mean(np.asarray(gk) != np.asarray(wk)) < 0.005
+
+
+def test_fused_grad_hist_matches_exact():
+    """F=8 grad_hist through the feature-interleaved fused kernel ==
+    the exact two-kernel path on disparity decisions (scores at the
+    fused normalisation tolerance)."""
+    h, w, max_d = 96, 128, 16
+    cfg = Config(max_disparity=max_d, descriptor="grad_hist")
+    geom = cfg.geometry(h, w)
+    assert fused_pallas.supported(cfg, geom)
+    rng = np.random.default_rng(9)
+    field = synthetic.block_disparity_field(h, w, max_d, rng, block=16)
+    left, right, _ = synthetic.make_pair(h, w, field, seed=9)
+    lp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left), geom))
+    rp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right), geom))
+    got = pipeline.match_padded(lp, rp, cfg, h, w, "fused")
+    want = pipeline.match_padded(lp, rp, cfg, h, w, "jnp")
+    np.testing.assert_array_equal(np.asarray(got["disparity_raw"]),
+                                  np.asarray(want["disparity_raw"]))
+    np.testing.assert_array_equal(np.asarray(got["valid"]),
+                                  np.asarray(want["valid"]))
+    np.testing.assert_allclose(np.asarray(got["score"]),
+                               np.asarray(want["score"]), atol=2e-5)
