@@ -30,7 +30,6 @@ from ..ops import fused_pallas
 from ..ops import pool as pool_ops
 from ..ops import postfilter as postfilter_ops
 from ..ops import pyramid_pallas
-from ..ops._dispatch import implementation
 from . import descriptors
 
 
