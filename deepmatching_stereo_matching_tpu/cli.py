@@ -67,6 +67,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="median post-filter window (odd; 0=off)")
     p.add_argument("--fill", action="store_true",
                    help="background-fill invalidated pixels")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="cost-volume/pyramid compute dtype")
+    p.add_argument("--dot-precision",
+                   choices=("split2", "split3", "highest"),
+                   default="split2",
+                   help="fused-kernel selection-matmul scheme: split2 "
+                        "(2 bf16 passes, ~1e-5 near-tie decision "
+                        "disagreement, fastest), split3, or highest "
+                        "(exact 6-pass f32)")
     return p
 
 
@@ -85,6 +95,8 @@ def config_from_args(args) -> "Config":
         min_score=args.min_score,
         median_filter=args.median,
         fill_invalid=args.fill,
+        dtype=args.dtype,
+        fused_dot_precision=args.dot_precision,
     )
 
 

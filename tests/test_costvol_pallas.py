@@ -100,3 +100,25 @@ def test_indivisible_target_width_rejected():
     tgt = jnp.zeros((2, 15, 8), jnp.float32)
     with pytest.raises(ValueError, match="not divisible"):
         costvol_pallas.cost_volume(src, tgt, 4, 4, 4)
+
+
+def test_cost_volume_slab_matches_jnp_d_offset():
+    """Pallas slab volume (traced d_offset, target pre-shift) == the
+    jnp d_offset path, for forward and reverse matching."""
+    import jax
+    from deepmatching_stereo_matching_tpu.ops import costvol as costvol_ops
+
+    rng = np.random.default_rng(7)
+    h0, w0, c, p, max_d, dl = 8, 24, 16, 4, 24, 8
+    src = jnp.asarray(rng.standard_normal((h0, w0, c)).astype("f4"))
+    tgt = jnp.asarray(rng.standard_normal((h0, w0 * p, c)).astype("f4"))
+    for reverse in (False, True):
+        for d_off in (0, 8, 16):
+            want = np.asarray(costvol_ops.cost_volume(
+                src, tgt, dl, p, max_d, reverse=reverse, d_offset=d_off))
+            got = np.asarray(costvol_pallas.cost_volume_slab(
+                src, tgt, dl, p, max_d, reverse=reverse,
+                d_offset=jnp.int32(d_off)))
+            np.testing.assert_allclose(
+                got, want, atol=2e-6,
+                err_msg=f"reverse={reverse} d_off={d_off}")
