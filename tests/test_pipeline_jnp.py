@@ -233,3 +233,41 @@ def test_match_dmajor_xla_bitwise():
             jnp.moveaxis(jnp.asarray(vol), -1, 0), levels, 1.4)
         np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
         np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+
+
+class TestDmajorPoolOps:
+    """D-major pool/merge variants == the canonical (H, W, D) forms
+    (transposed layouts, identical values — the large-D path's ops)."""
+
+    def test_pool3_subsample_dmajor_matches(self):
+        rng = np.random.default_rng(4)
+        m = rng.uniform(0, 1, size=(8, 12, 16)).astype(np.float32)
+        sub, arg = pool_ops.pool3_subsample(jnp.asarray(m))
+        sub_d, arg_d = pool_ops.pool3_subsample_dmajor(
+            jnp.moveaxis(jnp.asarray(m), -1, 0))
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(sub_d), 0, -1), np.asarray(sub))
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(arg_d), 0, -1), np.asarray(arg))
+
+    def test_pool3_subsample_dmajor_lo_pad(self):
+        rng = np.random.default_rng(5)
+        m = rng.uniform(0, 1, size=(8, 12, 16)).astype(np.float32)
+        halo = rng.uniform(0, 1, size=(8, 12)).astype(np.float32)
+        sub, arg = pool_ops.pool3_subsample(jnp.asarray(m),
+                                            lo_pad=jnp.asarray(halo))
+        sub_d, arg_d = pool_ops.pool3_subsample_dmajor(
+            jnp.moveaxis(jnp.asarray(m), -1, 0), lo_pad=jnp.asarray(halo))
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(sub_d), 0, -1), np.asarray(sub))
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(arg_d), 0, -1), np.asarray(arg))
+
+    def test_aggregate_children_dmajor_matches(self):
+        rng = np.random.default_rng(6)
+        s = rng.uniform(0, 1, size=(8, 12, 8)).astype(np.float32)
+        want = pool_ops.aggregate_children(jnp.asarray(s), 1.4)
+        got = pool_ops.aggregate_children_dmajor(
+            jnp.moveaxis(jnp.asarray(s), -1, 0), 1.4)
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(got), 0, -1), np.asarray(want))
