@@ -49,10 +49,14 @@ def read_disparity_png16(path: str) -> np.ndarray:
     """
     from .. import native
 
+    enc = None
     if native.available():
-        arr, _maxval = native.read_png(path)
-        enc = np.asarray(arr, dtype=np.float32)
-    else:
+        try:
+            arr, _maxval = native.read_png(path)
+            enc = np.asarray(arr, dtype=np.float32)
+        except IOError:
+            pass  # palette/interlaced PNG: fall through to PIL
+    if enc is None:
         from PIL import Image
 
         with Image.open(path) as im:

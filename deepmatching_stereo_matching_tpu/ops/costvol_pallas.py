@@ -230,6 +230,14 @@ def cost_volume_slab(desc_src: jnp.ndarray, desc_tgt: jnp.ndarray,
     p = patch_size
     if wt % p:
         raise ValueError(f"target descriptor width {wt} not divisible by {p}")
+    if disparities % p:
+        # d_offset is a traced multiple of the slab size `disparities`;
+        # the whole-patch-column shift below is exact ONLY when every
+        # offset is a multiple of p.  Callers (sharded.slab_cost_volume)
+        # must use the jnp path for unaligned slabs.
+        raise ValueError(
+            f"slab size {disparities} not a multiple of patch {p}: "
+            f"d_offset would not be patch-aligned")
     q_off = jnp.asarray(d_offset, jnp.int32) // p
     zeros = jnp.zeros_like(desc_tgt)
     if reverse:

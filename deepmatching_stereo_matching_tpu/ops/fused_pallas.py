@@ -444,11 +444,12 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     if dloop_rows == "group" and cpt is not None:
         # Batch the row compactions: one (bh, bp) @ (bp, G*w0) matmul
         # covers G disparities, filling G 128-lane N tiles per weight
-        # load instead of one.
-        g = _DLOOP_GROUP
+        # load instead of one.  (Named gn, NOT g: g above is the
+        # row-group width p*f_feat used by rows()/red().)
+        gn = _DLOOP_GROUP
         raws = {}
-        for g0 in range(0, len(live), g):
-            grp = live[g0:g0 + g]
+        for g0 in range(0, len(live), gn):
+            grp = live[g0:g0 + gn]
             cat = jax.lax.concatenate([acc_for(d) for d in grp], 1)
             r = _dot_sel_arb(cpt, cat, prec)                  # (bh, G*w0)
             for i, d in enumerate(grp):
@@ -538,7 +539,10 @@ def _vmem_estimate(d0: int, bh: int, w0: int, p: int, qh: int,
     vol = d0 * bh * w0 * itemsize
     phased = 2 * p * (bh * p * f_feat) * (w0 + qh) * 4
     images = 2 * (bh * p * f_feat) * (w0 * p) * 4
-    return 2 * vol + phased + images      # pyramid transients ~1x vol
+    # Large d0 adds REF-based backtracking scratch: a second full cost
+    # block plus ~1x vol of int32 per-level args (see _match_rows).
+    scratch = 2 * vol if d0 > pyramid_pallas._UNROLL_MAX else 0
+    return 2 * vol + phased + images + scratch  # pyramid transients ~1x vol
 
 
 def _n_features(cfg: Config) -> int:

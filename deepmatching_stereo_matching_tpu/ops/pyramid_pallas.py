@@ -326,6 +326,11 @@ def _slab_kernel(vol_ref, *rest, levels: int, lam: float):
     cur = vol_ref[...]
     dt = cur.dtype
     _, bh, wb = cur.shape
+
+    def c32(x):
+        # bf16 comparisons make i1 vectors Mosaic cannot relayout
+        # (see pyramid_body.c32); exact f32 widening sidesteps it.
+        return x.astype(jnp.float32) if dt != jnp.float32 else x
     for lvl in range(levels):
         d_l = cur.shape[0]
         half = cur.reshape(d_l // 2, 2, bh, wb)
@@ -344,8 +349,8 @@ def _slab_kernel(vol_ref, *rest, levels: int, lam: float):
         # int32 offsets: int8/int16 selects crash Mosaic (probed on
         # chip); the small slab keeps the int32 args outputs inside
         # the per-grid-step VMEM budget instead.
-        arg = jnp.where(pooled == lo, jnp.int32(-1),
-                        jnp.where(pooled == even, jnp.int32(0),
+        arg = jnp.where(c32(pooled) == c32(lo), jnp.int32(-1),
+                        jnp.where(c32(pooled) == c32(even), jnp.int32(0),
                                   jnp.int32(1)))
         args_out[lvl][...] = arg
         s = 2 ** lvl

@@ -107,8 +107,11 @@ def slab_cost_volume(desc_src, desc_tgt, cfg: Config, d_local: int,
     The Pallas kernel is the hot path on real hardware (VERDICT r3
     item 5 — shard bodies must run kernel-speed); the jnp form is the
     semantics anchor (bitwise-compared in tests/test_sharded.py).
+    Slabs whose size is not a multiple of the patch size cannot use the
+    kernel's whole-patch-column target shift (its d_offset would
+    truncate) and take the jnp path regardless of `impl`.
     """
-    if impl == "pallas":
+    if impl == "pallas" and d_local % cfg.patch_size == 0:
         return costvol_pallas.cost_volume_slab(
             desc_src, desc_tgt, d_local, cfg.patch_size,
             cfg.max_disparity, reverse=reverse, d_offset=d_offset)

@@ -121,3 +121,25 @@ def test_dslab_pallas_costvol_matches_unsharded():
         else:
             np.testing.assert_array_equal(np.asarray(got[k]), want[k],
                                           err_msg=f"dslab-pallas/{k}")
+
+
+def test_dslab_pallas_unaligned_slab_falls_back():
+    """Slabs smaller than the patch size cannot use the Pallas slab
+    kernel (its whole-patch-column d_offset shift would truncate);
+    slab_cost_volume must take the jnp path and stay bitwise-correct
+    (code-review r4 finding)."""
+    cfg = Config(max_disparity=8, levels=1)
+    mesh = parallel.make_mesh(1, 4)   # d_local = 8/4 = 2 < patch 4
+    pairs = make_batch(2, seed=41)
+    lefts = parallel.pad_batch([p[0] for p in pairs], cfg, H, W, mesh,
+                               "dslab")
+    rights = parallel.pad_batch([p[1] for p in pairs], cfg, H, W, mesh,
+                                "dslab")
+    sharding = parallel.input_sharding(mesh, "dslab")
+    got = parallel.match_batch_sharded(
+        jax.device_put(lefts, sharding), jax.device_put(rights, sharding),
+        cfg, H, W, mesh, "dslab", "pallas")
+    want = unsharded_reference(pairs, cfg)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k],
+                                      err_msg=f"unaligned-slab/{k}")

@@ -49,7 +49,6 @@ def main():
         fused_ok = (fused_pallas.supported(cfg, geom)
                     or fused_pallas.cost_supported(cfg, geom))
         impl = "fused" if fused_ok else "pallas"
-        large = False
         lp, rp = [], []
         for i in range(batch):
             rng = np.random.default_rng(i)

@@ -78,13 +78,14 @@ def main():
     ]
     defaults = (fused_pallas._BLOCK_ROWS_OVERRIDE, fused_pallas._ROW_SUM,
                 fused_pallas._DOT_PREC)
+    shipped = (None, "matmul", fused_pallas.dot_precision(cfg))
     for bh, rsum, prec in variants:
         fused_pallas._BLOCK_ROWS_OVERRIDE = bh
         fused_pallas._ROW_SUM = rsum
         fused_pallas._DOT_PREC = prec
         name = f"bh={bh or 'auto'},rows={rsum},dot={prec}"
         rec = {"bh": bh, "row_sum": rsum, "dot_prec": prec,
-               "is_default": (bh, rsum, prec) == defaults}
+               "is_default": (bh, rsum, prec) == shipped}
         for attempt in range(RETRIES):
             fused_pallas._match_rows.clear_cache()
             fn = jax.jit(lambda a, b: jax.vmap(
