@@ -57,7 +57,11 @@ class Config:
         float disparity map.
       dtype: compute dtype of the cost volume / pyramid ('float32' or
         'bfloat16'; f32 is the bit-comparability default, SURVEY.md §7
-        hard part 5).
+        hard part 5).  NOTE: on the flagship fused path bf16 is both
+        SLOWER than f32 (the kernel is VMEM-resident and VPU-bound, so
+        bf16 halves no binding resource while adding casts — measured
+        in bench.py's bf16 row) and less accurate; its value is
+        HBM-bound paths only (two-kernel, large-D volumes).
       min_top_disparities: used by automatic level selection.
       fused_dot_precision: MXU precision scheme of the fused kernel's
         selection/compaction matmuls (ops/fused_pallas.py).  'split2'

@@ -507,9 +507,10 @@ def _block_rows(h0: int, unit: int, d0: int = 64, w0: int = 128,
     """Patch rows per grid step.
 
     Bigger blocks raise the selection matmuls' M dimension (M = bh*p
-    rows) toward full 128-row MXU tiles (measured: bh=16 and bh=48 are
-    within noise of each other on the current kernel, bh=48 fewer grid
-    steps — FUSED_EXPERIMENTS.json).  Picks the LARGEST bh that (a)
+    rows) toward full 128-row MXU tiles and cut grid steps
+    (FUSED_EXPERIMENTS.json's bh arms measure the spread — auto/96
+    measured faster than the forced bh=16 arm).  Picks the LARGEST bh
+    that (a)
     divides h0, (b) is a multiple of lcm(2**levels, 8) so pyramid
     merges stay in-block and Mosaic's sublane tiling holds, (c) keeps
     bh*p <= 192 pixel rows (M = 384 blocks crash the remote compile
