@@ -68,6 +68,30 @@ def grad_hist_pixels(img: jnp.ndarray, bins: int = 8) -> jnp.ndarray:
     return hist_from_gradients(gx, gy, bins)
 
 
+def grad_hist_magbin(img: jnp.ndarray) -> tuple:
+    """Per-pixel (magnitude, bin) planes, (H, W) -> 2x (H, W) f32.
+
+    The grad_hist features are one-hot x magnitude (exactly one of the
+    8 bins is nonzero per pixel, `hist_from_gradients`), so the dense
+    (H, W, 8) tensor factors losslessly into an L1-magnitude plane and
+    an orientation-index plane: the descriptor dot becomes
+    mag_L*mag_R*[bin_L == bin_R] — exactly the matching one-hot product
+    plus exact zeros.  The bin index is returned as f32 (values 0..7,
+    exact in f32 AND bf16, so the fused kernel's split-bf16 selection
+    matmuls phase it exactly).  Consumed by the fused kernel's magbin
+    mode (ops/fused_pallas.py)."""
+    gy = _gradient_1d(img, 0)
+    gx = _gradient_1d(img, 1)
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    mag = ax + ay
+    idx_up = jnp.where(gx > 0, jnp.where(ay >= ax, 5, 4),
+                       jnp.where(ay > ax, 6, 7))
+    idx_dn = jnp.where(gx >= 0, jnp.where(ay > ax, 2, 3),
+                       jnp.where(ay >= ax, 1, 0))
+    idx = jnp.where(gy >= 0, idx_up, idx_dn)
+    return mag.astype(jnp.float32), idx.astype(jnp.float32)
+
+
 def pixel_features(img: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     if cfg.descriptor == "patch":
         return img[..., None]

@@ -108,6 +108,33 @@ _PHASING = "chunk"
 _BLOCK_ROWS_OVERRIDE = None
 _DOT_PREC = None
 _SKIP_PYRAMID = False
+# Disparity-loop scheduling knobs (tools/dloop_experiments.py):
+#   _DLOOP_SCHED: "inline" slices each group's compaction result right
+#     after its matmul (the r04 form — the slice VPU ops depend on the
+#     MXU result, so in-order issue stalls the next group's VPU work
+#     behind the matmul); "deferred" issues ALL groups' matmuls first
+#     and slices afterwards, exposing MXU/VPU overlap between group g's
+#     matmul and group g+1's accumulation.  Bitwise identical.
+#   _DCOMP_PREC: precision override for the DISPARITY-LOOP compaction
+#     matmuls only (None follows the main scheme).  "bf16" is a single
+#     native pass truncating the pre-normalisation correlation sums to
+#     bf16 (~2^-8) — decision flips measured on chip before shipping.
+#   _MEMO_PREBUILD: cut every distinct shifted window BEFORE the
+#     disparity loop (one funnel-shift batch) instead of lazily at
+#     first use inside it.
+_DLOOP_SCHED = "inline"
+_DCOMP_PREC = None
+_MEMO_PREBUILD = False
+# grad_hist kernel form: "magbin" exploits the features' one-hot x
+# magnitude structure (descriptors.grad_hist_magbin) — the descriptor
+# dot is mag_L*mag_R*[bin_L == bin_R], so the kernel carries TWO planes
+# per image instead of 8 interleaved feature rows and the row group
+# stays p.  Identical products in a different f32 summation tree (the
+# dc-sum mixes bins within a pixel row; the interleaved form sums each
+# bin's row first): scores agree to ~1e-5, decisions gated like every
+# fused variant (measured bit-equal decisions; tests/test_fused_pallas).
+# "interleave" keeps the r04 F=8 feature-interleaved-rows form.
+_GRADHIST_MODE = "magbin"
 # Ablation-only knobs (WRONG RESULTS when set; timing isolation for
 # tools/ablate_fused.py): _ABL_FIXED_SLICE pins every disparity-loop
 # lane slice to offset 0 (isolates lane-rotation cost);
@@ -149,7 +176,7 @@ def _dot_split(arb: jnp.ndarray, sel: jnp.ndarray, arb_left: bool,
     2^-8 — measured decision flips vs HIGHEST: ~1e-5 at the bench
     geometry (FUSED_EXPERIMENTS.json).
     """
-    n = 2 if prec == "split2" else 3
+    n = {"split2": 2, "split3": 3, "bf16": 1}.get(prec, 3)
     s16 = sel.astype(jnp.bfloat16)
     out = None
     for t in _split_terms(arb, n):
@@ -336,7 +363,8 @@ def _cost_block_rowphase(left: jnp.ndarray, right: jnp.ndarray, *, p: int,
 
 def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
                 max_d: int, qh: int, prec: str, dtype,
-                f_feat: int = 1) -> jnp.ndarray:
+                f_feat: int = 1, left_bin=None,
+                right_bin=None) -> jnp.ndarray:
     """(bp, Wp) f32 FEATURE row blocks -> (d0, bp//(p*F), Wp//p) costs.
 
     For multi-feature descriptors (grad_hist: F = 8 orientation bins)
@@ -346,10 +374,26 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     COLUMNS only and the row-compaction is just "sum groups of
     consecutive rows", the whole kernel works unchanged with the row
     group widened from p to p*F — the patch case is F = 1.
+
+    MAGBIN form (left_bin/right_bin given, f_feat == 1): left/right are
+    the L1 MAGNITUDE planes and the bins are f32 orientation indices
+    (descriptors.grad_hist_magbin).  The one-hot feature dot collapses
+    to mag_L*mag_R*[bin_L == bin_R]: norms run on the magnitude planes
+    unchanged (sum_f (mag*1_f)^2 = mag^2) and the disparity loop gains
+    one equality-mask per (dc) term.  The PRODUCTS equal the
+    interleaved F = 8 form's exactly, but the f32 summation tree
+    differs (the dc-sum here mixes bins within a pixel row; the
+    interleaved form sums each bin's feature row over dc first), so
+    scores agree to ~1e-5 and decisions are tolerance-gated like every
+    fused variant.  Bin phasing is exact: values 0..7 are exact in
+    bf16, so every split scheme's hi term carries them with a zero
+    residual; the halo's bin 0 can only "match" where its magnitude 0
+    zeroes the product anyway.
     """
     bp, wp = left.shape
     g = p * f_feat
     bh, w0 = bp // g, wp // p
+    magbin = left_bin is not None
 
     # Phased columns of both images via exact selection matmuls:
     # NR[o][y, qh + q] = right[y, p*q + o] (0 in the qh-column halo —
@@ -357,6 +401,9 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     # (every use below slices [qh : qh + w0]).
     nl = _phase_all(left, p, prec)                  # p x (bp, w0)
     nr = [_with_halo(ph, qh) for ph in _phase_all(right, p, prec)]
+    if magbin:
+        nlb = _phase_all(left_bin, p, prec)
+        nrb = [_with_halo(ph, qh) for ph in _phase_all(right_bin, p, prec)]
     cpt = _row_compaction(bh, bp, g) if _ROW_SUM == "matmul" else None
 
     def rows(x):
@@ -399,7 +446,7 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     # fixed-slice arm) — so each distinct window is cut exactly once
     # and reused via this memo (Mosaic liveness is SSA-based, so the
     # Python dict does not extend VMEM lifetimes).
-    sh_memo, shi_memo = {}, {}
+    sh_memo, shi_memo, shb_memo = {}, {}, {}
 
     def sh(o, s):
         if (o, s) not in sh_memo:
@@ -413,6 +460,12 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
             shi_memo[(o, s)] = invr[o][:, a: a + w0]
         return shi_memo[(o, s)]
 
+    def shb(o, s):
+        if (o, s) not in shb_memo:
+            a = 0 if _ABL_FIXED_SLICE else qh - s
+            shb_memo[(o, s)] = nrb[o][:, a: a + w0]
+        return shb_memo[(o, s)]
+
     def acc_for(d):
         """Unreduced (bp, w0) sum of the p phase products for `d`."""
         dq, drem = divmod(d, p)
@@ -420,7 +473,11 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
         for dc in range(p):
             o = (dc - drem) % p
             s = dq + (1 if dc < drem else 0)
-            term = nl[dc] * sh(o, s)
+            if magbin:
+                term = jnp.where(nlb[dc] == shb(o, s),
+                                 nl[dc] * sh(o, s), jnp.float32(0.0))
+            else:
+                term = nl[dc] * sh(o, s)
             acc = term if acc is None else acc + term
         return acc
 
@@ -441,19 +498,46 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
     live = list(range(min(d0, max_d)))
     if _ABL_LIVE_D is not None:
         live = live[:_ABL_LIVE_D]
+    if _MEMO_PREBUILD:
+        # Cut every distinct shifted window up front (one funnel-shift
+        # batch with no interleaved matmul dependencies) instead of
+        # lazily inside the loop.  Values identical; order only.
+        for d in live:
+            dq, drem = divmod(d, p)
+            for dc in range(p):
+                o_s = ((dc - drem) % p, dq + (1 if dc < drem else 0))
+                sh(*o_s)
+                if magbin:
+                    shb(*o_s)
+            shi((-d) % p, dq + (1 if drem else 0))
     if dloop_rows == "group" and cpt is not None:
         # Batch the row compactions: one (bh, bp) @ (bp, G*w0) matmul
         # covers G disparities, filling G 128-lane N tiles per weight
         # load instead of one.  (Named gn, NOT g: g above is the
         # row-group width p*f_feat used by rows()/red().)
         gn = _DLOOP_GROUP
+        dprec = _DCOMP_PREC or prec
         raws = {}
-        for g0 in range(0, len(live), gn):
-            grp = live[g0:g0 + gn]
-            cat = jax.lax.concatenate([acc_for(d) for d in grp], 1)
-            r = _dot_sel_arb(cpt, cat, prec)                  # (bh, G*w0)
-            for i, d in enumerate(grp):
-                raws[d] = r[:, i * w0:(i + 1) * w0]
+        if _DLOOP_SCHED == "deferred":
+            # Issue every group's accumulation + compaction matmul
+            # before ANY result is sliced: the slice vreg copies depend
+            # on the MXU result, so in-order VPU issue would otherwise
+            # stall each group boundary on the matmul (see knob doc).
+            groups = [live[g0:g0 + gn] for g0 in range(0, len(live), gn)]
+            rs = []
+            for grp in groups:
+                cat = jax.lax.concatenate([acc_for(d) for d in grp], 1)
+                rs.append(_dot_sel_arb(cpt, cat, dprec))      # (bh, G*w0)
+            for r, grp in zip(rs, groups):
+                for i, d in enumerate(grp):
+                    raws[d] = r[:, i * w0:(i + 1) * w0]
+        else:
+            for g0 in range(0, len(live), gn):
+                grp = live[g0:g0 + gn]
+                cat = jax.lax.concatenate([acc_for(d) for d in grp], 1)
+                r = _dot_sel_arb(cpt, cat, dprec)             # (bh, G*w0)
+                for i, d in enumerate(grp):
+                    raws[d] = r[:, i * w0:(i + 1) * w0]
         costs = [scale(raws[d], d) if d in raws else zero_plane
                  for d in range(d0)]
     else:
@@ -471,8 +555,13 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
 
 def _kernel(l_ref, r_ref, disp_ref, score_ref, *scratch, p: int, d0: int,
             max_d: int, qh: int, levels: int, lam: float, prec: str,
-            dtype, f_feat: int = 1):
-    if _PHASING == "rowphase" and f_feat == 1:
+            dtype, f_feat: int = 1, magbin: bool = False):
+    if magbin:
+        # l_ref/r_ref carry (2, bp, wp) stacked (magnitude, bin) planes.
+        cost0 = _cost_block(l_ref[0], r_ref[0], p=p, d0=d0,
+                            max_d=max_d, qh=qh, prec=prec, dtype=dtype,
+                            left_bin=l_ref[1], right_bin=r_ref[1])
+    elif _PHASING == "rowphase" and f_feat == 1:
         cost0 = _cost_block_rowphase(l_ref[...], r_ref[...], p=p, d0=d0,
                                      max_d=max_d, qh=qh, prec=prec,
                                      dtype=dtype)
@@ -503,7 +592,7 @@ def _kernel(l_ref, r_ref, disp_ref, score_ref, *scratch, p: int, d0: int,
 
 def _block_rows(h0: int, unit: int, d0: int = 64, w0: int = 128,
                 p: int = 4, qh: int = 17, itemsize: int = 4,
-                f_feat: int = 1) -> int:
+                f_feat: int = 1, magbin: bool = False) -> int:
     """Patch rows per grid step.
 
     Bigger blocks raise the selection matmuls' M dimension (M = bh*p
@@ -529,17 +618,19 @@ def _block_rows(h0: int, unit: int, d0: int = 64, w0: int = 128,
     m = base
     while m < h0 and m * p * f_feat <= cap:
         if h0 % m == 0 and _vmem_estimate(d0, m, w0, p, qh, itemsize,
-                                          f_feat) <= _VMEM_BUDGET:
+                                          f_feat, magbin) <= _VMEM_BUDGET:
             best = m
         m += base
     return best if best is not None else h0
 
 
 def _vmem_estimate(d0: int, bh: int, w0: int, p: int, qh: int,
-                   itemsize: int, f_feat: int = 1) -> int:
+                   itemsize: int, f_feat: int = 1,
+                   magbin: bool = False) -> int:
     vol = d0 * bh * w0 * itemsize
-    phased = 2 * p * (bh * p * f_feat) * (w0 + qh) * 4
-    images = 2 * (bh * p * f_feat) * (w0 * p) * 4
+    nplanes = 2 if magbin else 1  # magbin carries (mag, bin) per image
+    phased = nplanes * 2 * p * (bh * p * f_feat) * (w0 + qh) * 4
+    images = nplanes * 2 * (bh * p * f_feat) * (w0 * p) * 4
     # Large d0 adds REF-based backtracking scratch: a second full cost
     # block plus ~1x vol of int32 per-level args (see _match_rows).
     scratch = 2 * vol if d0 > pyramid_pallas._UNROLL_MAX else 0
@@ -550,17 +641,23 @@ def _n_features(cfg: Config) -> int:
     return 1 if cfg.descriptor == "patch" else 8
 
 
+def _gh_magbin(cfg: Config) -> bool:
+    return cfg.descriptor == "grad_hist" and _GRADHIST_MODE == "magbin"
+
+
 def supported(cfg: Config, geom: Geometry) -> bool:
     """True when the fused kernel covers this configuration.
 
     Both descriptor modes are covered ('grad_hist' runs the kernel on
+    (magnitude, bin) planes by default — _GRADHIST_MODE — or on
     feature-interleaved rows, F = 8); centered descriptors,
     VMEM-oversized volumes, and unaligned tile geometries fall back to
     the exact two-kernel path in models/pipeline.py.
     """
     if cfg.center_descriptors:
         return False
-    f = _n_features(cfg)
+    magbin = _gh_magbin(cfg)
+    f = 1 if magbin else _n_features(cfg)
     unit = 2 ** geom.levels
     h0, w0 = geom.grid_h, geom.grid_w
     if w0 % unit or h0 % unit or geom.disparities % unit:
@@ -568,11 +665,11 @@ def supported(cfg: Config, geom: Geometry) -> bool:
     itemsize = jnp.dtype(cfg.dtype).itemsize
     qh = (cfg.max_disparity - 1) // cfg.patch_size + 2
     bh = _block_rows(h0, unit, geom.disparities, w0, cfg.patch_size, qh,
-                     itemsize, f)
+                     itemsize, f, magbin)
     if bh % unit:
         return False
     return _vmem_estimate(geom.disparities, bh, w0, cfg.patch_size, qh,
-                          itemsize, f) <= _VMEM_BUDGET
+                          itemsize, f, magbin) <= _VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("p", "d0", "max_d", "levels",
@@ -624,6 +721,54 @@ def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
     )(left_p, right_p)
 
 
+@functools.partial(jax.jit, static_argnames=("p", "d0", "max_d", "levels",
+                                             "lam", "prec", "dtype",
+                                             "interpret"))
+def _match_rows_magbin(left_mb: jnp.ndarray, right_mb: jnp.ndarray,
+                       p: int, d0: int, max_d: int, levels: int,
+                       lam: float, prec: str, dtype: str,
+                       interpret: bool):
+    """Fused kernel on (2, Hp, Wp) stacked (magnitude, bin) planes."""
+    _, hp, wp = left_mb.shape
+    h0, w0 = hp // p, wp // p
+    unit = 2 ** levels
+    if hp % p or wp % p or w0 % unit or h0 % unit or d0 % unit:
+        raise ValueError(
+            f"padded magbin pair {left_mb.shape} not aligned to patch "
+            f"{p} / quadtree unit {unit}")
+    qh = (max_d - 1) // p + 2
+    itemsize = jnp.dtype(dtype).itemsize
+    bh = _block_rows(h0, unit, d0, w0, p, qh, itemsize, 1, True)
+    kernel = functools.partial(_kernel, p=p, d0=d0, max_d=max_d, qh=qh,
+                               levels=levels, lam=lam, prec=prec,
+                               dtype=jnp.dtype(dtype), magbin=True)
+    in_spec = pl.BlockSpec((2, bh * p, wp), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bh, w0), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = ([pltpu.VMEM((d0, bh, w0), jnp.dtype(dtype))]
+               + [pltpu.VMEM((d0 >> (l + 1), bh, w0), jnp.int32)
+                  for l in range(levels)]
+               if d0 > pyramid_pallas._UNROLL_MAX else [])
+    return pl.pallas_call(
+        kernel,
+        grid=(h0 // bh,),
+        in_specs=[in_spec, in_spec],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=scratch,
+        out_shape=(jax.ShapeDtypeStruct((h0, w0), jnp.int32),
+                   jax.ShapeDtypeStruct((h0, w0), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * hp * wp * (w0 + qh) * 2 * p
+            + 2 * max_d * h0 * w0 * (p * p + p)
+            + 12 * d0 * h0 * w0,
+            bytes_accessed=4 * 4 * hp * wp + 8 * h0 * w0,
+            transcendentals=2 * d0 * h0 * w0,
+        ),
+        interpret=interpret,
+    )(left_mb, right_mb)
+
+
 def interleave_features(feat: jnp.ndarray) -> jnp.ndarray:
     """(Hp, Wp, F) pixel features -> (Hp*F, Wp) feature-interleaved rows
     (row y*F + f holds feature f of pixel row y) — the layout
@@ -637,12 +782,24 @@ def match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
     """Padded f32 pixel pair -> (disp_patch int32, score f32), (H0, W0).
 
     Fused fast path for forward matching; callers must check
-    `supported(cfg, geom)` first.  grad_hist mode computes the 8-bin
-    pixel features in XLA (exact comparison binning,
-    models/descriptors.py) and feeds the kernel feature-interleaved
-    rows — 4x less HBM than the sliding-descriptor tensors of the
-    two-kernel path, and no descriptor round trips.
+    `supported(cfg, geom)` first.  grad_hist mode computes the pixel
+    features in XLA (exact comparison binning, models/descriptors.py)
+    and feeds the kernel either (magnitude, bin) plane pairs (magbin,
+    the default — 2 planes/image, one-hot dot as an equality-masked
+    product) or feature-interleaved rows (F = 8); both are exact
+    factorings of the one-hot descriptor dot, far less HBM than the
+    sliding-descriptor tensors of the two-kernel path, and no
+    descriptor round trips.
     """
+    if _gh_magbin(cfg):
+        from ..models import descriptors as desc_mod
+
+        lm, lb = desc_mod.grad_hist_magbin(left_p)
+        rm, rb = desc_mod.grad_hist_magbin(right_p)
+        return _match_rows_magbin(
+            jnp.stack([lm, lb]), jnp.stack([rm, rb]), cfg.patch_size,
+            geom.disparities, cfg.max_disparity, geom.levels, cfg.lam,
+            dot_precision(cfg), cfg.dtype, use_interpret())
     f = _n_features(cfg)
     if f > 1:
         from ..models import descriptors as desc_mod

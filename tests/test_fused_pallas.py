@@ -181,3 +181,30 @@ def test_fused_grad_hist_matches_exact():
                                   np.asarray(want["valid"]))
     np.testing.assert_allclose(np.asarray(got["score"]),
                                np.asarray(want["score"]), atol=2e-5)
+
+
+def test_fused_grad_hist_magbin_equals_interleave():
+    """The magbin grad_hist kernel (mag_L*mag_R*[bin_L == bin_R] on
+    (magnitude, bin) planes) matches the F=8 feature-interleaved form:
+    identical disparity decisions, scores within the documented f32
+    summation-tree tolerance (~1e-5) — the products are identical, only
+    the addition order differs (ops/fused_pallas.py:_cost_block)."""
+    h, w, max_d = 96, 128, 16
+    cfg = Config(max_disparity=max_d, descriptor="grad_hist")
+    geom = cfg.geometry(h, w)
+    assert fused_pallas._GRADHIST_MODE == "magbin"
+    assert fused_pallas.supported(cfg, geom)
+    rng = np.random.default_rng(12)
+    field = synthetic.block_disparity_field(h, w, max_d, rng, block=16)
+    left, right, _ = synthetic.make_pair(h, w, field, seed=12)
+    lp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left), geom))
+    rp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right), geom))
+    d_mb, s_mb = fused_pallas.match_rows(lp, rp, cfg, geom)
+    try:
+        fused_pallas._GRADHIST_MODE = "interleave"
+        d_il, s_il = fused_pallas.match_rows(lp, rp, cfg, geom)
+    finally:
+        fused_pallas._GRADHIST_MODE = "magbin"
+    np.testing.assert_array_equal(np.asarray(d_mb), np.asarray(d_il))
+    np.testing.assert_allclose(np.asarray(s_mb), np.asarray(s_il),
+                               rtol=1e-4, atol=1e-5)
