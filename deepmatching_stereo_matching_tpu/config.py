@@ -142,10 +142,27 @@ class Config:
         return ((self.max_disparity + m - 1) // m) * m
 
     def padded_image_size(self, height: int, width: int, levels: int) -> tuple:
-        """(Hp, Wp): image size padded so the level-0 grid divides 2**L."""
+        """(Hp, Wp): image size padded so the level-0 grid divides 2**L.
+
+        Width is additionally padded to a LANE-ALIGNED patch grid
+        (W0 = Wp/p a multiple of 128, the TPU vector register lane
+        count) when that costs <= 25% extra columns: ragged lane tiles
+        tax every Mosaic vector op on (., W0) planes — measured 2.5x
+        on the KITTI large-D cost kernel (W0 320 -> 384 made the
+        kernel faster despite 20% more pixels; PROFILE_LARGE r5).
+        Padding columns are zeros, which score exactly 0 (the oracle's
+        out-of-range rule), so results on the true image region are
+        unchanged; the NumPy oracle pads identically, keeping parity
+        bitwise by construction.
+        """
         m = self.patch_size * (self.subsample ** levels)
         hp = ((height + m - 1) // m) * m
         wp = ((width + m - 1) // m) * m
+        lane_m = self.patch_size * 128
+        lane_m = (lane_m * m) // math.gcd(lane_m, m)
+        wa = ((wp + lane_m - 1) // lane_m) * lane_m
+        if wa <= wp * 5 // 4:
+            wp = wa
         return hp, wp
 
     def geometry(self, height: int, width: int) -> "Geometry":

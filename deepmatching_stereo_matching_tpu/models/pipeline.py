@@ -112,7 +112,8 @@ def _select_dmajor(planes: jnp.ndarray, k: jnp.ndarray,
                    dtype=acc_dtype)
 
 
-def match_dmajor_xla(cost_dm: jnp.ndarray, levels: int, lam: float
+def match_dmajor_xla(cost_dm: jnp.ndarray, levels: int, lam: float,
+                     fast: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pyramid + backtracking on a D-MAJOR (D, H0, W0) volume, in XLA.
 
@@ -133,7 +134,8 @@ def match_dmajor_xla(cost_dm: jnp.ndarray, levels: int, lam: float
         # Slab-kernel aggregation emits DUPLICATED-CELL maps (every
         # level at full spatial resolution), so the descent needs no
         # spatial upsampling — k is born full-res.
-        cur, args = pyramid_pallas.aggregate_slabs(cost_dm, levels, lam)
+        cur, args = pyramid_pallas.aggregate_slabs(cost_dm, levels, lam,
+                                                   fast=fast)
         k = jnp.argmax(cur, axis=0).astype(jnp.int32)
         for arg in reversed(args):
             off = _select_dmajor(arg, k, jnp.int32)
@@ -257,7 +259,11 @@ def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
             cost_dm = fused_pallas.cost_volume_rows(left, right, cfg,
                                                     geom)
         with jax.named_scope("pyramid_backtrack_dmajor"):
-            return match_dmajor_xla(cost_dm, geom.levels, cfg.lam)
+            # fast=True: deferred-pow/exp2 slab rectification — same
+            # winners, rounds differently; this route is tolerance-
+            # gated like the fused kernel (bench parity gates).
+            return match_dmajor_xla(cost_dm, geom.levels, cfg.lam,
+                                    fast=True)
     with jax.named_scope("descriptors"):
         desc_src = descriptors.left_descriptors(left, cfg)
         desc_tgt = descriptors.right_sliding_descriptors(right, cfg)

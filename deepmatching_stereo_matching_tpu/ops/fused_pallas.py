@@ -135,6 +135,13 @@ _MEMO_PREBUILD = False
 # fused variant (measured bit-equal decisions; tests/test_fused_pallas).
 # "interleave" keeps the r04 F=8 feature-interleaved-rows form.
 _GRADHIST_MODE = "magbin"
+# How the magbin equality mask applies (tools/dloop_experiments.py):
+#   "where"   term = where(binL == binR, magL*magR, 0)
+#   "mulmask" term = magL*magR * f32(binL == binR)
+#   "relu"    term = magL*magR * relu(1 - |binL - binR|) — no i1 mask
+#     vectors at all (Mosaic relayouts of i1 are a known sore spot);
+#     exact for integer-valued bins: |diff| >= 1 -> 0, diff == 0 -> 1.
+_GH_MASK = "where"
 # Ablation-only knobs (WRONG RESULTS when set; timing isolation for
 # tools/ablate_fused.py): _ABL_FIXED_SLICE pins every disparity-loop
 # lane slice to offset 0 (isolates lane-rotation cost);
@@ -474,8 +481,17 @@ def _cost_block(left: jnp.ndarray, right: jnp.ndarray, *, p: int, d0: int,
             o = (dc - drem) % p
             s = dq + (1 if dc < drem else 0)
             if magbin:
-                term = jnp.where(nlb[dc] == shb(o, s),
-                                 nl[dc] * sh(o, s), jnp.float32(0.0))
+                prod = nl[dc] * sh(o, s)
+                if _GH_MASK == "relu":
+                    d_ = nlb[dc] - shb(o, s)
+                    term = prod * jnp.maximum(
+                        1.0 - jnp.abs(d_), jnp.float32(0.0))
+                elif _GH_MASK == "mulmask":
+                    term = prod * (nlb[dc] == shb(o, s)
+                                   ).astype(jnp.float32)
+                else:
+                    term = jnp.where(nlb[dc] == shb(o, s), prod,
+                                     jnp.float32(0.0))
             else:
                 term = nl[dc] * sh(o, s)
             acc = term if acc is None else acc + term
@@ -842,6 +858,10 @@ def cost_supported(cfg: Config, geom: Geometry) -> bool:
             and geom.disparities * 8 * w0 * itemsize <= 3 * 1024 * 1024)
 
 
+# Probe knob (tools-only): force the large-D cost kernel's row block.
+_COST_BH_OVERRIDE = None
+
+
 @functools.partial(jax.jit, static_argnames=("p", "d0", "max_d", "prec",
                                              "dtype", "interpret"))
 def _cost_volume_rows(left_p, right_p, p: int, d0: int, max_d: int,
@@ -856,6 +876,8 @@ def _cost_volume_rows(left_p, right_p, p: int, d0: int, max_d: int,
     for m in range(8, 65, 8):
         if h0 % m == 0 and d0 * m * w0 * itemsize <= 5 * 1024 * 1024 // 2:
             bh = m
+    if _COST_BH_OVERRIDE is not None:
+        bh = _COST_BH_OVERRIDE
     kernel = functools.partial(_cost_only_kernel, p=p, d0=d0, max_d=max_d,
                                qh=qh, prec=prec, dtype=jnp.dtype(dtype))
     return pl.pallas_call(

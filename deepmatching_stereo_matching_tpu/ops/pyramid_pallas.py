@@ -56,6 +56,18 @@ _BLOCK_BYTES = 2 * 1024 * 1024
 # 0 -> 0, rounds differently); "square" replaces it with x*x (WRONG
 # results — timing ablation that bounds the transcendental share).
 _POW_IMPL = "exp2"
+# HBM dtype of the SLAB path's recorded pool offsets (aggregate_slabs
+# only — the VMEM-resident kernel's args never touch HBM).  The values
+# are exactly {-1, 0, 1}, exact in bfloat16, which halves the largest
+# large-D HBM term (args are ~sum_l D/2^(l+1) planes, written by the
+# slab kernels and re-read by the XLA backtracking selects); int32 is
+# the bit-anchored form the jnp path uses.  tools/profile_large.py A/Bs
+# the two on chip.
+_ARGS_DTYPE = "bfloat16"
+# D-slab width of the sequential aggregation chain (must divide D and
+# be a multiple of 2**levels).  Wider slabs halve the halo round-trips
+# and per-call overheads at 2x the VMEM block.
+_SLAB = 32
 
 
 def _rectify(m, lam, dt, fast):
@@ -91,12 +103,25 @@ def _pair_sum(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
     result holds (left_child + right_child) duplicated over the size-2s
     parent cell, summed in left+right order everywhere (exact: two-term
     f32 addition is commutative and the shifts are value-exact).
+
+    The left/right parity mask is constant over the leading (disparity)
+    axis, so for 3-D inputs it is built at the 2-D minor shape and
+    broadcast — the full-extent iota/div/mod chain cost D times more
+    VPU passes for identical values (bitwise-equal results).
     """
-    left = jnp.equal(
-        jax.lax.div(
-            jax.lax.broadcasted_iota(jnp.int32, x.shape, axis),
-            jnp.int32(s)) % 2,
-        0)
+    if x.ndim == 3 and axis in (1, 2):
+        minor = x.shape[1:]
+        left = jnp.equal(
+            jax.lax.div(
+                jax.lax.broadcasted_iota(jnp.int32, minor, axis - 1),
+                jnp.int32(s)) % 2,
+            0)[None]
+    else:
+        left = jnp.equal(
+            jax.lax.div(
+                jax.lax.broadcasted_iota(jnp.int32, x.shape, axis),
+                jnp.int32(s)) % 2,
+            0)
     sib_r = _shift_up(x, s, axis)      # right sibling, valid on left cells
     sib_l = _shift_down(x, s, axis)    # left sibling, valid on right cells
     return jnp.where(left, x + sib_r, sib_l + x)
@@ -318,7 +343,8 @@ def fits_solo(d: int, h0: int, w0: int, levels: int,
 # ---------------------------------------------------------------------------
 
 
-def _slab_kernel(vol_ref, *rest, levels: int, lam: float):
+def _slab_kernel(vol_ref, *rest, levels: int, lam: float,
+                 fast: bool = False):
     halos = rest[:levels]
     args_out = rest[levels:2 * levels]
     bounds_out = rest[2 * levels:3 * levels]
@@ -336,7 +362,8 @@ def _slab_kernel(vol_ref, *rest, levels: int, lam: float):
         half = cur.reshape(d_l // 2, 2, bh, wb)
         even = half[:, 0]
         odd = half[:, 1]
-        # Next slab's lo halo at this level = our last odd plane.
+        # Next slab's lo halo at this level = our last odd plane
+        # (pre-pow in fast mode — the next slab pools the same domain).
         # (Positive static index: negative indexing lowers to the
         # unsupported dynamic_slice primitive in Mosaic.)
         bounds_out[lvl][...] = odd[d_l // 2 - 1]
@@ -346,38 +373,65 @@ def _slab_kernel(vol_ref, *rest, levels: int, lam: float):
         else:
             lo = jnp.concatenate([lo_first, odd[:-1]], axis=0)
         pooled = jnp.maximum(jnp.maximum(lo, even), odd)
-        # int32 offsets: int8/int16 selects crash Mosaic (probed on
-        # chip); the small slab keeps the int32 args outputs inside
-        # the per-grid-step VMEM budget instead.
-        arg = jnp.where(c32(pooled) == c32(lo), jnp.int32(-1),
-                        jnp.where(c32(pooled) == c32(even), jnp.int32(0),
-                                  jnp.int32(1)))
+        if _ARGS_DTYPE == "bfloat16":
+            # {-1, 0, 1} offsets, exact in bf16 — halves the args HBM
+            # traffic (computed in f32, cast on store; int8/int16
+            # selects crash Mosaic, probed on chip, so bf16 is the
+            # narrow option).
+            arg = jnp.where(
+                c32(pooled) == c32(lo), jnp.float32(-1),
+                jnp.where(c32(pooled) == c32(even), jnp.float32(0),
+                          jnp.float32(1))).astype(jnp.bfloat16)
+        else:
+            arg = jnp.where(
+                c32(pooled) == c32(lo), jnp.int32(-1),
+                jnp.where(c32(pooled) == c32(even), jnp.int32(0),
+                          jnp.int32(1)))
         args_out[lvl][...] = arg
+        if fast and lvl > 0:
+            # Deferred rectification (pyramid_body's fast idea applied
+            # across the slab chain, AFTER the arg compare): winners
+            # are picked on pre-pow values — identical to the exact
+            # path since x**lam is strictly monotone — and the
+            # previous level's rectification lands here on the POOLED
+            # planes, halving the rectified planes.  jnp.power, NOT
+            # the exp2 chain: pow commutes bitwise with the max-pool
+            # (the pooled element IS the rectified element), so this
+            # is flip-free in practice (measured 0 at KITTI D=128),
+            # whereas Mosaic's exp2/log2 approximation flipped 2.5%
+            # of decisions at the same geometry.  Only the tolerance-
+            # gated fused large-D route sets fast (pow-collision ties
+            # are the only theoretical divergence).
+            pooled = jnp.power(pooled, jnp.asarray(lam, dt))
         s = 2 ** lvl
         b = _pair_sum(pooled, s, axis=2)
         m = _pair_sum(b, s, axis=1)
-        cur = _rectify(m * jnp.asarray(0.25, dt), lam, dt, False)
+        scaled = m * jnp.asarray(0.25, dt)
+        cur = scaled if fast else _rectify(scaled, lam, dt, False)
     top_ref[...] = cur
 
 
 def slab_supported(d: int, h0: int, w0: int, levels: int,
-                   slab: int = 32) -> bool:
+                   slab=None) -> bool:
     """True when `aggregate_slabs` covers this geometry."""
+    slab = _SLAB if slab is None else slab
     unit = 2 ** levels
     return (d > slab and d % slab == 0 and slab % unit == 0
             and h0 % unit == 0 and w0 % unit == 0)
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "lam", "slab",
-                                             "interpret"))
+                                             "interpret", "fast"))
 def _aggregate_slabs(cost_dm, levels: int, lam: float, slab: int,
-                     interpret: bool):
+                     interpret: bool, fast: bool = False):
     d, h0, w0 = cost_dm.shape
     unit = 2 ** levels
     bh, wb = _pick_blocks(h0, w0, slab, unit, cost_dm.dtype.itemsize)
     plane = jax.ShapeDtypeStruct((h0, w0), cost_dm.dtype)
+    args_dt = (jnp.bfloat16 if _ARGS_DTYPE == "bfloat16"
+               else jnp.int32)
     out_shapes = tuple(
-        [jax.ShapeDtypeStruct((slab >> (l + 1), h0, w0), jnp.int32)
+        [jax.ShapeDtypeStruct((slab >> (l + 1), h0, w0), args_dt)
          for l in range(levels)]
         + [plane] * levels
         + [jax.ShapeDtypeStruct((slab >> levels, h0, w0),
@@ -392,7 +446,8 @@ def _aggregate_slabs(cost_dm, levels: int, lam: float, slab: int,
                         lambda i, j: (0, i, j),
                         memory_space=pltpu.VMEM)])
     call = pl.pallas_call(
-        functools.partial(_slab_kernel, levels=levels, lam=lam),
+        functools.partial(_slab_kernel, levels=levels, lam=lam,
+                          fast=fast),
         grid=(h0 // bh, w0 // wb),
         in_specs=[pl.BlockSpec((slab, bh, wb), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM)]
@@ -421,15 +476,20 @@ def _aggregate_slabs(cost_dm, levels: int, lam: float, slab: int,
 
 
 def aggregate_slabs(cost_dm: jnp.ndarray, levels: int, lam: float,
-                    slab: int = 32):
+                    slab=None, fast: bool = False):
     """(D, H0, W0) D-major volume -> (top_map, [args per level]).
 
     Sequential D-slab kernel calls with per-level halo planes; callers
     must check `slab_supported` first.  Returns the top-level map
-    (D/2**levels, H0, W0) and the recorded int32 pool offsets per level
-    ((D/2**(l+1), H0, W0)) — identical values to build_pyramid's.
+    (D/2**levels, H0, W0) and the recorded pool offsets per level
+    ((D/2**(l+1), H0, W0)) — identical values to build_pyramid's when
+    fast=False.  fast=True applies the deferred-pow/exp2 rectification
+    (top map and all values pre-pow at the top, same argmax winners;
+    reserved for the tolerance-gated fused large-D route).
     """
-    out = _aggregate_slabs(cost_dm, levels, lam, slab, use_interpret())
+    out = _aggregate_slabs(cost_dm, levels, lam,
+                           _SLAB if slab is None else slab,
+                           use_interpret(), fast)
     return out[0], out[1:]
 
 

@@ -39,6 +39,14 @@ RETRIES = 3
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gh-only", action="store_true",
+                    help="run only the grad_hist arms (appends to the "
+                         "existing DLOOP_EXPERIMENTS.json results)")
+    cli = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -80,6 +88,13 @@ def main():
          True),
     ]
     results = []
+    if cli.gh_only:
+        prev = os.path.join(REPO, "DLOOP_EXPERIMENTS.json")
+        if os.path.exists(prev):
+            with open(prev) as f:
+                results = [r for r in json.load(f)["results"]
+                           if not r.get("name", "").startswith("gh-")]
+        variants = []
     ref_disp = None
     for name, sched, grp, dprec, pre, nopyr in variants:
         fused_pallas._DLOOP_SCHED = sched
@@ -146,14 +161,17 @@ def main():
 
     gh_cfg = dataclasses.replace(cfg, descriptor="grad_hist")
     gh_ref = None
-    for name, mode, sched in (("gh-interleave-r04", "interleave",
-                               "inline"),
-                              ("gh-magbin", "magbin", "inline"),
-                              ("gh-magbin-deferred", "magbin",
-                               "deferred")):
+    for name, mode, sched, mask in (
+            ("gh-interleave-r04", "interleave", "inline", "where"),
+            ("gh-magbin", "magbin", "inline", "where"),
+            ("gh-magbin-deferred", "magbin", "deferred", "where"),
+            ("gh-magbin-mulmask", "magbin", "inline", "mulmask"),
+            ("gh-magbin-relu", "magbin", "inline", "relu")):
         fused_pallas._GRADHIST_MODE = mode
         fused_pallas._DLOOP_SCHED = sched
-        rec = {"name": name, "gradhist_mode": mode, "sched": sched}
+        fused_pallas._GH_MASK = mask
+        rec = {"name": name, "gradhist_mode": mode, "sched": sched,
+               "gh_mask": mask}
         if not fused_pallas.supported(gh_cfg, geom):
             rec.update(failed=True, error="not supported")
             results.append(rec)
@@ -193,6 +211,7 @@ def main():
         results.append(rec)
     fused_pallas._GRADHIST_MODE = "magbin"
     fused_pallas._DLOOP_SCHED = "inline"
+    fused_pallas._GH_MASK = "where"
 
     out_path = os.path.join(REPO, "DLOOP_EXPERIMENTS.json")
     with open(out_path, "w") as f:

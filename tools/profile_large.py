@@ -116,14 +116,37 @@ def main():
         print(f"D={max_d} pyr+backtrack x{ndir}: {timing.fmt(st)}",
               file=sys.stderr, flush=True)
 
-        step = jax.jit(lambda a, b: jax.vmap(
-            lambda x, y: pipeline.match_padded_core(x, y, cfg, geom,
-                                                    "fused"))(a, b))
-        st = timing.steady_state(step, (lpa, rpa), repeats=3)
-        rows["full_step"] = {"seconds": st["median"], "timing": st}
-        mpx = batch * KH * KW * 1e-6 / st["median"]
-        print(f"D={max_d} full step:          {timing.fmt(st)} = "
-              f"{mpx:.1f} Mpx/s", file=sys.stderr, flush=True)
+        # Full-step arms: args dtype x slab width (module knobs; the
+        # inner jits cache on static args only, so clear them per arm).
+        mpx = None
+        for arm, args_dt, slab in (("bf16args-slab32", "bfloat16", 32),
+                                   ("bf16args-slab64", "bfloat16", 64),
+                                   ("int32args-slab32", "int32", 32)):
+            pyramid_pallas._ARGS_DTYPE = args_dt
+            pyramid_pallas._SLAB = slab
+            pyramid_pallas._aggregate_slabs.clear_cache()
+            step = jax.jit(lambda a, b: jax.vmap(
+                lambda x, y: pipeline.match_padded_core(
+                    x, y, cfg, geom, "fused"))(a, b))
+            try:
+                st = timing.steady_state(step, (lpa, rpa), repeats=3)
+            except Exception as e:
+                print(f"D={max_d} full step [{arm}] FAILED: "
+                      f"{str(e)[:200]}", file=sys.stderr, flush=True)
+                rows[f"full_step_{arm}"] = {"failed": str(e)[:300]}
+                continue
+            v = batch * KH * KW * 1e-6 / st["median"]
+            rows[f"full_step_{arm}"] = {"seconds": st["median"],
+                                        "timing": st, "mpx_per_s": v}
+            if mpx is None:
+                rows["full_step"] = {"seconds": st["median"],
+                                     "timing": st}
+                mpx = v
+            print(f"D={max_d} full step [{arm}]: {timing.fmt(st)} = "
+                  f"{v:.1f} Mpx/s", file=sys.stderr, flush=True)
+        pyramid_pallas._ARGS_DTYPE = "bfloat16"
+        pyramid_pallas._SLAB = 32
+        pyramid_pallas._aggregate_slabs.clear_cache()
 
         bounds = {k: sum(v.values()) * ndir / HBM
                   for k, v in model.items()}

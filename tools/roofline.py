@@ -309,6 +309,38 @@ def main():
     # LR tail = full step minus the matching kernels.
     rows["lr_densify_tail"] = {"seconds": max(0.0, t_full - t_fused)}
 
+    # Calibrated VPU ceiling (tools/vpu_ceiling.py): the spec 6.1
+    # TFLOP/s assumes register-resident FMA streams; the measured
+    # ceiling for the disparity loop's ACTUAL op mix (VMEM-resident
+    # f32 mul/add through Mosaic) is far lower.  Report the fused
+    # kernel's SOL against BOTH — the spec-model fraction is the
+    # conservative headline, the calibrated fraction locates the
+    # kernel against what this chip can actually execute.
+    ceiling_path = os.path.join(REPO, "VPU_CEILING.json")
+    calibrated = None
+    if os.path.exists(ceiling_path):
+        with open(ceiling_path) as f:
+            ceil = json.load(f)
+        vpu_cal = ceil["achieved_flop_per_s"]
+        rate, label = mxu_rate()
+        t_cal = {
+            label: sum(mxu.values()) / rate,
+            "VPU": sum(vpu.values()) / vpu_cal,
+            "HBM": sum(hbm.values()) / HBM,
+        }
+        bname_cal = max(t_cal, key=t_cal.get)
+        sol_cal = ndir * t_cal[bname_cal]
+        calibrated = {
+            "vpu_flop_per_s": vpu_cal,
+            "sol_seconds": sol_cal,
+            "sol_fraction": sol_cal / t_fused,
+            "bounding_resource": bname_cal,
+        }
+        rows["fused_kernel"]["calibrated"] = calibrated
+        log(f"calibrated VPU ceiling {vpu_cal/1e12:.2f} TFLOP/s -> "
+            f"fused kernel at {100*sol_cal/t_fused:.0f}% of the "
+            f"CALIBRATED SOL ({bname_cal})")
+
     out = {
         "chip": str(jax.devices()[0]),
         "peaks": {"mxu_bf16": MXU_BF16, "mxu_f32_highest": MXU_F32_HIGHEST,
@@ -322,6 +354,11 @@ def main():
             "fused_sol_fraction": rows["fused_kernel"]["sol_fraction"],
             "fused_bounding_resource": rows["fused_kernel"]
                                            ["bounding_resource"],
+            **({"fused_sol_fraction_calibrated":
+                calibrated["sol_fraction"],
+                "calibrated_vpu_tflops":
+                round(calibrated["vpu_flop_per_s"] / 1e12, 2)}
+               if calibrated else {}),
         },
     }
     with open(args.out, "w") as f:
