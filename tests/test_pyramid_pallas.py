@@ -158,3 +158,51 @@ def test_pyramid_large_d_fori_path_bitwise():
     gk, gs = pp.pyramid_backtrack(jnp.moveaxis(vol, -1, 0), levels, 1.4)
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
     np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+
+
+def test_aggregate_slabs_fast_matches_exact_decisions():
+    """fast=True (deferred-pow slab chain, the fused large-D route)
+    picks the SAME winners as the exact chain: pow commutes bitwise
+    with the max-pool, so args, backtracked disparities, and scores
+    all match (pow-collision ties are the only theoretical divergence;
+    none occur on this data).  Measured flip-free on chip at KITTI
+    D=128 (jnp.power form; Mosaic's exp2 approximation flipped 2.5%
+    and is NOT used here)."""
+    import jax.numpy as jnp
+    from deepmatching_stereo_matching_tpu.models import pipeline
+
+    rng = np.random.default_rng(5)
+    d, h0, w0, levels = 64, 16, 32, 2
+    vol = jnp.asarray(np.maximum(
+        rng.standard_normal((d, h0, w0)).astype("f4"), 0.0))
+    ke, se = pipeline.match_dmajor_xla(vol, levels, 1.4, fast=False)
+    kf, sf = pipeline.match_dmajor_xla(vol, levels, 1.4, fast=True)
+    np.testing.assert_array_equal(np.asarray(ke), np.asarray(kf))
+    np.testing.assert_array_equal(np.asarray(se), np.asarray(sf))
+
+
+def test_aggregate_slabs_bf16_args_roundtrip():
+    """bf16 HBM storage of the recorded pool offsets ({-1, 0, 1},
+    exact in bfloat16) backtracks identically to int32 storage."""
+    import jax.numpy as jnp
+    from deepmatching_stereo_matching_tpu.models import pipeline
+    from deepmatching_stereo_matching_tpu.ops import pyramid_pallas as pp
+
+    rng = np.random.default_rng(6)
+    d, h0, w0, levels = 64, 16, 32, 2
+    vol = jnp.asarray(np.maximum(
+        rng.standard_normal((d, h0, w0)).astype("f4"), 0.0))
+    outs = {}
+    prev = pp._ARGS_DTYPE
+    try:
+        for dt in ("bfloat16", "int32"):
+            pp._ARGS_DTYPE = dt
+            pp._aggregate_slabs.clear_cache()
+            outs[dt] = pipeline.match_dmajor_xla(vol, levels, 1.4)
+    finally:
+        pp._ARGS_DTYPE = prev
+        pp._aggregate_slabs.clear_cache()
+    np.testing.assert_array_equal(np.asarray(outs["bfloat16"][0]),
+                                  np.asarray(outs["int32"][0]))
+    np.testing.assert_array_equal(np.asarray(outs["bfloat16"][1]),
+                                  np.asarray(outs["int32"][1]))
