@@ -38,7 +38,7 @@ def main():
     np.asarray(jnp.zeros(()))
 
     rows = []
-    for max_d, batch in ((128, 4), (256, 4)):
+    for max_d, batch in ((128, 8), (256, 8)):
         cfg = Config(max_disparity=max_d)
         geom = cfg.geometry(KH, KW)
         # Large-D fast path (VERDICT r3 item 4): the fused image ->
