@@ -249,8 +249,7 @@ def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
         with jax.named_scope("fused_match"):
             return fused_pallas.match_rows(left, right, cfg, geom)
     if (impl == "fused" and not reverse
-            and fused_pallas.cost_supported(cfg, geom)
-            and cfg.dtype == "float32"):
+            and fused_pallas.cost_supported(cfg, geom)):
         # Large-D fused prologue: image -> D-major cost volume in one
         # kernel (no descriptor HBM round-trips), then the D-slab
         # pyramid + leading-axis backtracking.  Same tolerance class

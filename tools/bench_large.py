@@ -38,8 +38,15 @@ def main():
     np.asarray(jnp.zeros(()))
 
     rows = []
-    for max_d, batch in ((128, 8), (256, 8)):
-        cfg = Config(max_disparity=max_d)
+    # Batch per row is the measured-fastest workload shape (D=128
+    # amortizes with batch; D=256 is HBM-bound and does not).  The
+    # bfloat16 D=256 row demonstrates the dtype knob where it belongs
+    # (the HBM-bound large-D path; on the VMEM-resident flagship bf16
+    # is slower, BASELINE.md) — its gate is the kept-pixel bad-rate
+    # delta vs the f32 oracle, not decision parity.
+    for max_d, batch, dt in ((128, 8, "float32"), (256, 4, "float32"),
+                             (256, 4, "bfloat16")):
+        cfg = Config(max_disparity=max_d, dtype=dt)
         geom = cfg.geometry(KH, KW)
         # Large-D fast path (VERDICT r3 item 4): the fused image ->
         # D-major cost-volume kernel + D-slab pyramid aggregation
@@ -77,7 +84,7 @@ def main():
         rng = np.random.default_rng(7)
         field = synthetic.block_disparity_field(KH, KW, max_d, rng,
                                                 block=48)
-        gl, gr, _ = synthetic.make_pair(KH, KW, field, seed=7)
+        gl, gr, ggt = synthetic.make_pair(KH, KW, field, seed=7)
         t0 = time.perf_counter()
         want = oracle.match_stereo(gl, gr, cfg)
         got = pipeline.match_padded(
@@ -89,12 +96,23 @@ def main():
         raw_neq = float(np.mean(np.asarray(got["disparity_raw"])
                                 != want.disparity_raw))
         val_neq = float(np.mean(np.asarray(got["valid"]) != want.valid))
-        print(f"parity[D={max_d}] raw_neq={raw_neq:.2e} "
-              f"val_neq={val_neq:.2e} "
-              f"(oracle took {time.perf_counter() - t0:.0f}s)",
+        from deepmatching_stereo_matching_tpu.utils import metrics
+        bad_got = metrics.bad_pixel_rate(np.asarray(got["disparity"]),
+                                         ggt, count_invalid=False)
+        bad_ora = metrics.bad_pixel_rate(want.disparity, ggt,
+                                         count_invalid=False)
+        print(f"parity[D={max_d},{dt}] raw_neq={raw_neq:.2e} "
+              f"val_neq={val_neq:.2e} kept_bad={bad_got:.4f} "
+              f"(oracle {bad_ora:.4f}, took "
+              f"{time.perf_counter() - t0:.0f}s)",
               file=sys.stderr, flush=True)
-        if raw_neq > 0.005 or val_neq > 0.005:
-            print(f"PARITY FAILURE at D={max_d}", file=sys.stderr,
+        if dt == "float32":
+            if raw_neq > 0.005 or val_neq > 0.005:
+                print(f"PARITY FAILURE at D={max_d}", file=sys.stderr,
+                      flush=True)
+                sys.exit(1)
+        elif bad_got - bad_ora > 0.05:
+            print(f"BF16 QUALITY FAILURE at D={max_d}", file=sys.stderr,
                   flush=True)
             sys.exit(1)
 
@@ -102,8 +120,9 @@ def main():
         t = stats["median"]
         mpxs = batch * KH * KW * 1e-6 / t
         row = {"height": KH, "width": KW, "max_disparity": max_d,
-               "batch": batch,
+               "batch": batch, "dtype": dt,
                "impl": impl,
+               "kept_bad_rate": bad_got, "oracle_kept_bad": bad_ora,
                "parity_raw_neq": raw_neq, "parity_val_neq": val_neq,
                "ms_per_step": round(t * 1e3, 2),
                "timing": {k: stats[k] for k in
@@ -111,8 +130,8 @@ def main():
                "mpx_per_s": round(mpxs, 1),
                "compile_s": round(compile_s, 1),
                "volume_mb_per_direction": round(
-                   geom.grid_h * geom.grid_w * geom.disparities * 4e-6,
-                   1)}
+                   geom.grid_h * geom.grid_w * geom.disparities
+                   * (2 if dt == "bfloat16" else 4) * 1e-6, 1)}
         rows.append(row)
         print(json.dumps(row), file=sys.stderr, flush=True)
 
