@@ -33,20 +33,17 @@ def _gradient_1d(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.concatenate([first, interior, last], axis=axis)
 
 
-def hist_from_gradients(gx: jnp.ndarray, gy: jnp.ndarray,
-                        bins: int = 8) -> jnp.ndarray:
-    """(gx, gy) -> magnitude-weighted orientation histogram (..., bins).
+def magbin_from_gradients(gx: jnp.ndarray, gy: jnp.ndarray) -> tuple:
+    """(gx, gy) -> (L1 magnitude, int32 octant index), elementwise.
 
-    The shared tail of `grad_hist_pixels` and the halo-corrected sharded
-    feature builder (parallel/wtiled.py).  Defined with EXACT float ops
-    only — comparison-based octant binning + L1 magnitude, matching
-    oracle/reference.py:_grad_hist_pixels — so results are bit-identical
-    across backends, shardings, and XLA fusion contexts (sqrt/arctan2
-    compile to fusion-dependent FMA/veclib code whose ULP drift flips
-    bins; see the oracle docstring).
+    THE single definition of the comparison-based octant binning + L1
+    magnitude (EXACT float ops only, matching
+    oracle/reference.py:_grad_hist_pixels — sqrt/arctan2 compile to
+    fusion-dependent FMA/veclib code whose ULP drift flips bins; see
+    the oracle docstring).  Both the one-hot tensor form
+    (`hist_from_gradients`) and the fused kernel's magbin plane form
+    derive from this helper so the binning rule cannot desynchronize.
     """
-    if bins != 8:
-        raise ValueError("grad_hist is defined for 8 orientation bins")
     ax, ay = jnp.abs(gx), jnp.abs(gy)
     mag = ax + ay
     idx_up = jnp.where(gx > 0, jnp.where(ay >= ax, 5, 4),
@@ -54,6 +51,20 @@ def hist_from_gradients(gx: jnp.ndarray, gy: jnp.ndarray,
     idx_dn = jnp.where(gx >= 0, jnp.where(ay > ax, 2, 3),
                        jnp.where(ay >= ax, 1, 0))
     idx = jnp.where(gy >= 0, idx_up, idx_dn).astype(jnp.int32)
+    return mag, idx
+
+
+def hist_from_gradients(gx: jnp.ndarray, gy: jnp.ndarray,
+                        bins: int = 8) -> jnp.ndarray:
+    """(gx, gy) -> magnitude-weighted orientation histogram (..., bins).
+
+    The shared tail of `grad_hist_pixels` and the halo-corrected sharded
+    feature builder (parallel/wtiled.py); one-hot encoding of
+    `magbin_from_gradients`.
+    """
+    if bins != 8:
+        raise ValueError("grad_hist is defined for 8 orientation bins")
+    mag, idx = magbin_from_gradients(gx, gy)
     return jax.nn.one_hot(idx, bins, dtype=jnp.float32) * mag[..., None]
 
 
@@ -82,13 +93,7 @@ def grad_hist_magbin(img: jnp.ndarray) -> tuple:
     mode (ops/fused_pallas.py)."""
     gy = _gradient_1d(img, 0)
     gx = _gradient_1d(img, 1)
-    ax, ay = jnp.abs(gx), jnp.abs(gy)
-    mag = ax + ay
-    idx_up = jnp.where(gx > 0, jnp.where(ay >= ax, 5, 4),
-                       jnp.where(ay > ax, 6, 7))
-    idx_dn = jnp.where(gx >= 0, jnp.where(ay > ax, 2, 3),
-                       jnp.where(ay >= ax, 1, 0))
-    idx = jnp.where(gy >= 0, idx_up, idx_dn)
+    mag, idx = magbin_from_gradients(gx, gy)
     return mag.astype(jnp.float32), idx.astype(jnp.float32)
 
 

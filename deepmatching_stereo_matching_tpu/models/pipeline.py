@@ -258,9 +258,11 @@ def one_direction(left: jnp.ndarray, right: jnp.ndarray, cfg: Config,
             cost_dm = fused_pallas.cost_volume_rows(left, right, cfg,
                                                     geom)
         with jax.named_scope("pyramid_backtrack_dmajor"):
-            # fast=True: deferred-pow/exp2 slab rectification — same
-            # winners, rounds differently; this route is tolerance-
-            # gated like the fused kernel (bench parity gates).
+            # fast=True: deferred-pow slab rectification (jnp.power —
+            # bit-commutes with the pool; NOT Mosaic's exp2, which
+            # flipped 2.5% of decisions).  Same winners up to
+            # pow-collision ties; this route is tolerance-gated like
+            # the fused kernel (bench parity gates, measured exact).
             return match_dmajor_xla(cost_dm, geom.levels, cfg.lam,
                                     fast=True)
     with jax.named_scope("descriptors"):

@@ -690,11 +690,18 @@ def supported(cfg: Config, geom: Geometry) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("p", "d0", "max_d", "levels",
                                              "lam", "prec", "dtype",
-                                             "interpret", "f_feat"))
+                                             "interpret", "f_feat",
+                                             "magbin"))
 def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
                 max_d: int, levels: int, lam: float, prec: str, dtype: str,
-                interpret: bool, f_feat: int = 1):
-    hp, wp = left_p.shape
+                interpret: bool, f_feat: int = 1, magbin: bool = False):
+    """One pallas_call for BOTH input forms: (Hp*F, Wp) feature rows
+    (patch F=1 / interleaved F=8), or — magbin=True — (2, Hp, Wp)
+    stacked (magnitude, bin) planes with f_feat == 1."""
+    if magbin:
+        _, hp, wp = left_p.shape
+    else:
+        hp, wp = left_p.shape
     g = p * f_feat
     h0, w0 = hp // g, wp // p
     unit = 2 ** levels
@@ -704,12 +711,16 @@ def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
             f"(x{f_feat} features) / quadtree unit {unit}")
     qh = (max_d - 1) // p + 2
     itemsize_pick = jnp.dtype(dtype).itemsize
-    bh = _block_rows(h0, unit, d0, w0, p, qh, itemsize_pick, f_feat)
+    bh = _block_rows(h0, unit, d0, w0, p, qh, itemsize_pick, f_feat,
+                     magbin)
     kernel = functools.partial(_kernel, p=p, d0=d0, max_d=max_d, qh=qh,
                                levels=levels, lam=lam, prec=prec,
-                               dtype=jnp.dtype(dtype), f_feat=f_feat)
-    in_spec = pl.BlockSpec((bh * g, wp), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
+                               dtype=jnp.dtype(dtype), f_feat=f_feat,
+                               magbin=magbin)
+    in_spec = (pl.BlockSpec((2, bh * g, wp), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM) if magbin else
+               pl.BlockSpec((bh * g, wp), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((bh, w0), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     itemsize = jnp.dtype(dtype).itemsize
@@ -727,62 +738,15 @@ def _match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, p: int, d0: int,
                    jax.ShapeDtypeStruct((h0, w0), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             # Selection/compaction matmuls dominate the FLOP count.
-            flops=2 * hp * wp * (w0 + qh) * 2 * p
+            flops=(2 if magbin else 1) * 2 * hp * wp * (w0 + qh) * 2 * p
             + 2 * max_d * h0 * w0 * (p * p + p)
             + 12 * d0 * h0 * w0,
-            bytes_accessed=4 * 2 * hp * wp + 8 * h0 * w0,
+            bytes_accessed=(2 if magbin else 1) * 4 * 2 * hp * wp
+            + 8 * h0 * w0,
             transcendentals=2 * d0 * h0 * w0,
         ),
         interpret=interpret,
     )(left_p, right_p)
-
-
-@functools.partial(jax.jit, static_argnames=("p", "d0", "max_d", "levels",
-                                             "lam", "prec", "dtype",
-                                             "interpret"))
-def _match_rows_magbin(left_mb: jnp.ndarray, right_mb: jnp.ndarray,
-                       p: int, d0: int, max_d: int, levels: int,
-                       lam: float, prec: str, dtype: str,
-                       interpret: bool):
-    """Fused kernel on (2, Hp, Wp) stacked (magnitude, bin) planes."""
-    _, hp, wp = left_mb.shape
-    h0, w0 = hp // p, wp // p
-    unit = 2 ** levels
-    if hp % p or wp % p or w0 % unit or h0 % unit or d0 % unit:
-        raise ValueError(
-            f"padded magbin pair {left_mb.shape} not aligned to patch "
-            f"{p} / quadtree unit {unit}")
-    qh = (max_d - 1) // p + 2
-    itemsize = jnp.dtype(dtype).itemsize
-    bh = _block_rows(h0, unit, d0, w0, p, qh, itemsize, 1, True)
-    kernel = functools.partial(_kernel, p=p, d0=d0, max_d=max_d, qh=qh,
-                               levels=levels, lam=lam, prec=prec,
-                               dtype=jnp.dtype(dtype), magbin=True)
-    in_spec = pl.BlockSpec((2, bh * p, wp), lambda i: (0, i, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((bh, w0), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    scratch = ([pltpu.VMEM((d0, bh, w0), jnp.dtype(dtype))]
-               + [pltpu.VMEM((d0 >> (l + 1), bh, w0), jnp.int32)
-                  for l in range(levels)]
-               if d0 > pyramid_pallas._UNROLL_MAX else [])
-    return pl.pallas_call(
-        kernel,
-        grid=(h0 // bh,),
-        in_specs=[in_spec, in_spec],
-        out_specs=(out_spec, out_spec),
-        scratch_shapes=scratch,
-        out_shape=(jax.ShapeDtypeStruct((h0, w0), jnp.int32),
-                   jax.ShapeDtypeStruct((h0, w0), jnp.float32)),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * hp * wp * (w0 + qh) * 2 * p
-            + 2 * max_d * h0 * w0 * (p * p + p)
-            + 12 * d0 * h0 * w0,
-            bytes_accessed=4 * 4 * hp * wp + 8 * h0 * w0,
-            transcendentals=2 * d0 * h0 * w0,
-        ),
-        interpret=interpret,
-    )(left_mb, right_mb)
 
 
 def interleave_features(feat: jnp.ndarray) -> jnp.ndarray:
@@ -812,10 +776,10 @@ def match_rows(left_p: jnp.ndarray, right_p: jnp.ndarray, cfg: Config,
 
         lm, lb = desc_mod.grad_hist_magbin(left_p)
         rm, rb = desc_mod.grad_hist_magbin(right_p)
-        return _match_rows_magbin(
+        return _match_rows(
             jnp.stack([lm, lb]), jnp.stack([rm, rb]), cfg.patch_size,
             geom.disparities, cfg.max_disparity, geom.levels, cfg.lam,
-            dot_precision(cfg), cfg.dtype, use_interpret())
+            dot_precision(cfg), cfg.dtype, use_interpret(), 1, True)
     f = _n_features(cfg)
     if f > 1:
         from ..models import descriptors as desc_mod

@@ -483,9 +483,12 @@ def aggregate_slabs(cost_dm: jnp.ndarray, levels: int, lam: float,
     must check `slab_supported` first.  Returns the top-level map
     (D/2**levels, H0, W0) and the recorded pool offsets per level
     ((D/2**(l+1), H0, W0)) — identical values to build_pyramid's when
-    fast=False.  fast=True applies the deferred-pow/exp2 rectification
-    (top map and all values pre-pow at the top, same argmax winners;
-    reserved for the tolerance-gated fused large-D route).
+    fast=False.  fast=True defers each level's rectification past the
+    next level's pool using jnp.power (NOT the exp2 chain — see the
+    in-kernel comment: Mosaic's exp2 approximation flipped 2.5% of
+    decisions at KITTI D=128, while pow commutes bitwise with the
+    pool); the top map comes back pre-pow, same argmax winners.
+    Reserved for the tolerance-gated fused large-D route.
     """
     out = _aggregate_slabs(cost_dm, levels, lam,
                            _SLAB if slab is None else slab,

@@ -73,6 +73,10 @@ def main():
     rs = jnp.concatenate([rpa, lpa[:, :, ::-1]])
     np.asarray(jnp.zeros(()))  # warm the relay
 
+    saved = {k: getattr(fused_pallas, k) for k in
+             ("_DLOOP_SCHED", "_DLOOP_GROUP", "_DCOMP_PREC",
+              "_MEMO_PREBUILD", "_SKIP_PYRAMID", "_DOT_PREC",
+              "_BLOCK_ROWS_OVERRIDE", "_GRADHIST_MODE", "_GH_MASK")}
     # (name, sched, group, dcomp_prec, prebuild, skip_pyramid)
     variants = [
         ("exact-ref", "inline", 8, None, False, False),  # highest, below
@@ -146,14 +150,11 @@ def main():
               f"{'n/a' if neq is None else f'{neq:.2e}'}",
               file=sys.stderr, flush=True)
         results.append(rec)
-    # Restore defaults.
-    fused_pallas._DLOOP_SCHED = "inline"
-    fused_pallas._DLOOP_GROUP = 8
-    fused_pallas._DCOMP_PREC = None
-    fused_pallas._MEMO_PREBUILD = False
-    fused_pallas._SKIP_PYRAMID = False
-    fused_pallas._DOT_PREC = None
-    fused_pallas._BLOCK_ROWS_OVERRIDE = None
+    # Restore the saved module defaults (NOT hardcoded literals — if a
+    # default changes, a literal would silently leave the process in a
+    # non-default configuration).
+    for k, v in saved.items():
+        setattr(fused_pallas, k, v)
 
     # grad_hist arms: the r5 magbin kernel (2 planes/image,
     # equality-masked products) vs the r04 F=8 interleaved-rows form.
@@ -178,7 +179,6 @@ def main():
             continue
         for attempt in range(RETRIES):
             fused_pallas._match_rows.clear_cache()
-            fused_pallas._match_rows_magbin.clear_cache()
             fn = jax.jit(lambda a, b: jax.vmap(
                 lambda x, y: fused_pallas.match_rows(x, y, gh_cfg, geom)
             )(a, b))
@@ -209,9 +209,9 @@ def main():
         print(f"{name}: {timing.fmt(stats)}  neq={neq:.2e}",
               file=sys.stderr, flush=True)
         results.append(rec)
-    fused_pallas._GRADHIST_MODE = "magbin"
-    fused_pallas._DLOOP_SCHED = "inline"
-    fused_pallas._GH_MASK = "where"
+    for k, v in saved.items():
+        setattr(fused_pallas, k, v)
+    fused_pallas._match_rows.clear_cache()
 
     out_path = os.path.join(REPO, "DLOOP_EXPERIMENTS.json")
     with open(out_path, "w") as f:

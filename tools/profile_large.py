@@ -36,16 +36,30 @@ HBM = 819e9
 VPU = 6.1e12
 
 
-def hbm_model(d0, h0, w0, hp, wp, levels, itemsize=4):
-    """Per-direction HBM bytes by stage (current implementation)."""
+def hbm_model(d0, h0, w0, hp, wp, levels, itemsize=4,
+              args_itemsize=None, slab=None):
+    """Per-direction HBM bytes by stage (current implementation).
+
+    args_itemsize follows pyramid_pallas._ARGS_DTYPE (the shipped
+    default stores the recorded pool offsets as 2-byte bf16); `slab`
+    follows pyramid_pallas._SLAB for the per-slab halo round-trips.
+    """
+    from deepmatching_stereo_matching_tpu.ops import pyramid_pallas
+
+    if args_itemsize is None:
+        args_itemsize = (2 if pyramid_pallas._ARGS_DTYPE == "bfloat16"
+                         else 4)
+    if slab is None:
+        slab = pyramid_pallas._SLAB
     vol = itemsize * d0 * h0 * w0
-    args = sum(4 * (d0 >> (l + 1)) * h0 * w0 for l in range(levels))
+    args = sum(args_itemsize * (d0 >> (l + 1)) * h0 * w0
+               for l in range(levels))
     tops = itemsize * (d0 >> levels) * h0 * w0
-    halos = 4 * levels * h0 * w0 * 2  # per-level halo planes, r+w ~8 slabs
+    halos = 4 * levels * h0 * w0 * 2  # per-level halo planes, r+w
     return {
         "cost": {"img_r": 2 * 4 * hp * wp, "vol_w": vol},
         "slabs": {"vol_r": vol, "args_w": args, "tops_w": tops,
-                  "halos": halos * (d0 // 32)},
+                  "halos": halos * (d0 // slab)},
         "backtrack_tail": {"tops_r": tops, "args_r": args,
                            "score_vol_r": vol},
     }
@@ -118,6 +132,7 @@ def main():
 
         # Full-step arms: args dtype x slab width (module knobs; the
         # inner jits cache on static args only, so clear them per arm).
+        saved = (pyramid_pallas._ARGS_DTYPE, pyramid_pallas._SLAB)
         mpx = None
         for arm, args_dt, slab in (("bf16args-slab32", "bfloat16", 32),
                                    ("bf16args-slab64", "bfloat16", 64),
@@ -144,8 +159,7 @@ def main():
                 mpx = v
             print(f"D={max_d} full step [{arm}]: {timing.fmt(st)} = "
                   f"{v:.1f} Mpx/s", file=sys.stderr, flush=True)
-        pyramid_pallas._ARGS_DTYPE = "bfloat16"
-        pyramid_pallas._SLAB = 32
+        pyramid_pallas._ARGS_DTYPE, pyramid_pallas._SLAB = saved
         pyramid_pallas._aggregate_slabs.clear_cache()
 
         bounds = {k: sum(v.values()) * ndir / HBM
