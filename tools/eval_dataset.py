@@ -210,6 +210,11 @@ def main():
             [r["epe_kept"] for r in keyed])), 4)
     report = {"config": {"max_disparity": args.max_disparity,
                          "impl": impl, "gt_scale": args.gt_scale},
+              "note": ("QUALITY evidence only, NOT a perf artifact: "
+                       "the mpx_per_s fields are single-pair api calls "
+                       "dominated by XLA compile and relay round-trips "
+                       "— see BENCH_r*.json / BASELINE.md for "
+                       "throughput numbers."),
               "pairs": rows, "summary": summary}
     if args.out:
         with open(args.out, "w") as f:
