@@ -28,8 +28,10 @@ def _gradient_1d(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     Static slices, NOT jnp.take with index vectors: take lowers to a
     real gather on TPU, which dominated the grad_hist feature prep
     (measured r5: the magbin kernel's XLA prologue was ~3.8 of 6.1 ms
-    at the bench geometry before this change).  Same elements, bitwise
-    identical.
+    at the bench geometry before this change).  Same elements,
+    bitwise identical to np.gradient.  (A clamped-shift + iota-mask
+    variant with no 1-wide arithmetic measured SLOWER on chip — 912 vs
+    1157 Mpx/s full-step — so the three-piece form stands.)
     """
     n = img.shape[axis]
     sl = functools.partial(jax.lax.slice_in_dim, img, axis=axis)
