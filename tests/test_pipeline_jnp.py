@@ -271,3 +271,45 @@ class TestDmajorPoolOps:
             jnp.moveaxis(jnp.asarray(s), -1, 0), 1.4)
         np.testing.assert_array_equal(
             np.moveaxis(np.asarray(got), 0, -1), np.asarray(want))
+
+
+def test_lane_aligned_padding_is_result_invariant():
+    """The r5 lane-align rule (Config.padded_image_size pads width so
+    W0 is a multiple of 128 when cheap) must not change any cropped
+    output: padding columns are zero descriptors that score exactly 0
+    (the oracle's out-of-range rule), in BOTH matching directions (the
+    flip direction sees them as left-side zeros, same as the out-of-
+    image halo).  Compare against a manually narrower padding."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from deepmatching_stereo_matching_tpu import Config
+    from deepmatching_stereo_matching_tpu.data import synthetic
+    from deepmatching_stereo_matching_tpu.models import pipeline
+    from deepmatching_stereo_matching_tpu.oracle import reference as oracle
+
+    h, w, max_d = 64, 150, 16   # w pads to 192 under the unit rule
+    cfg = Config(max_disparity=max_d, levels=2)
+    geom = cfg.geometry(h, w)
+    # Build a WIDER, lane-misaligned-vs-aligned comparison directly:
+    # the shipped geometry vs one padded 64 px further (both are legal
+    # paddings; results on the true image must agree bitwise).
+    wider = dataclasses.replace(
+        geom, padded_width=geom.padded_width + 64,
+        grid_w=(geom.padded_width + 64) // cfg.patch_size)
+    left, right, _ = synthetic.make_pair(
+        h, w, synthetic.block_disparity_field(
+            h, w, max_d, np.random.default_rng(4), block=16), seed=4)
+    outs = []
+    for g in (geom, wider):
+        lp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(left),
+                                          g))
+        rp = jnp.asarray(oracle.pad_image(oracle.to_grayscale_f32(right),
+                                          g))
+        core = pipeline.match_padded_core(lp, rp, cfg, g, "jnp")
+        outs.append({k: np.asarray(v)[:h, :w]
+                     for k, v in pipeline.crop(core, h, w).items()})
+    for k in outs[0]:
+        np.testing.assert_array_equal(outs[0][k], outs[1][k],
+                                      err_msg=f"padding changed {k}")
